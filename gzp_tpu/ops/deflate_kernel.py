@@ -1,0 +1,310 @@
+"""Batched DEFLATE encoder: token emission, bit packing, member assembly.
+
+The device-side equivalent of the reference's
+``FormatSpec::encode`` + libdeflate/zlib-ng compression core (reference
+src/deflate.rs:88-110, src/mgzip.rs:184-242, src/bgzf.rs:200-270), for a
+whole batch of blocks at once:
+
+1. tokens (from :mod:`gzp_tpu.ops.lz`) are mapped to fixed-Huffman
+   (RFC 1951 §3.2.6) bit strings — every token fits in <= 31 bits;
+2. a prefix sum over bit lengths assigns each token an absolute bit
+   offset; contributions are scattered into a uint32 word buffer (bits are
+   LSB-first, so little-endian words == the deflate byte stream);
+3. block-format members (Mgzip/BGZF) get their gzip member header (with
+   the per-format size field) and CRC32+ISIZE footer written around the
+   deflate payload on device, so a member leaves the chip fully framed.
+
+Modes:
+  * ``stream``: the block is a chunk of a continuous deflate stream —
+    non-final chunks end with an empty stored block (Z_SYNC_FLUSH, the
+    pigz block join; reference src/deflate.rs:96-100), the final chunk
+    sets BFINAL and pads to a byte (FlushCompress::Finish).
+  * ``mgzip`` / ``bgzf``: every block is a standalone gzip member
+    (always BFINAL), framed per format.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gzp_tpu import check as _check
+from gzp_tpu.constants import (
+    BGZF_HEADER_SIZE,
+    MAX_DIST,
+    MAX_MATCH,
+    MGZIP_HEADER_SIZE,
+    MIN_MATCH,
+)
+from gzp_tpu.ops import lz, tables
+from gzp_tpu.ops.checksum import adler32_device, crc32_device
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_U8 = jnp.uint8
+
+DEFAULT_WINDOW = 256
+
+
+def _member_header_template(mode: str, level: int) -> np.ndarray:
+    """Constant member header bytes (size field zeroed) for mgzip/bgzf.
+
+    Byte layouts per reference src/mgzip.rs:244-278 and src/bgzf.rs:272-303.
+    """
+    if level >= 9:
+        xfl = 2
+    elif level <= 1:
+        xfl = 4
+    else:
+        xfl = 0
+    base = [31, 139, 8, 4, 0, 0, 0, 0, xfl, 255]
+    if mode == "mgzip":
+        hdr = base + [8, 0, ord("I"), ord("G"), 4, 0, 0, 0, 0, 0]  # XLEN=8, SID 'IG', SLEN=4, BLEN u32
+        assert len(hdr) == MGZIP_HEADER_SIZE
+    elif mode == "bgzf":
+        hdr = base + [6, 0, ord("B"), ord("C"), 2, 0, 0, 0]  # XLEN=6, SID 'BC', SLEN=2, BSIZE u16
+        assert len(hdr) == BGZF_HEADER_SIZE
+    else:
+        raise ValueError(mode)
+    return np.array(hdr, dtype=np.uint8)
+
+
+@dataclass(frozen=True)
+class DeflateEncodeConfig:
+    block_len: int  # N: padded block size (static)
+    mode: str  # 'stream' | 'mgzip' | 'bgzf'
+    checksum: str  # 'crc32' | 'adler32' | 'none'  (per-block stream checksum)
+    level: int = 6
+    window: int = DEFAULT_WINDOW
+    max_words: int = 8  # gather-LCP cap (bytes = 4*max_words)
+
+    @property
+    def header_len(self) -> int:
+        return {"stream": 0, "mgzip": MGZIP_HEADER_SIZE, "bgzf": BGZF_HEADER_SIZE}[self.mode]
+
+    @property
+    def footer_len(self) -> int:
+        return 0 if self.mode == "stream" else 8
+
+    @property
+    def out_words(self) -> int:
+        # worst case: all-literal block at 9 bits/byte + headers/trailers
+        max_bits = 8 * self.header_len + 3 + 9 * (self.block_len + 1) + 7 + 48
+        return (max_bits + 31) // 32 + 4  # slack for the byte footer region
+
+    @property
+    def out_bytes(self) -> int:
+        return 4 * self.out_words
+
+
+def emit_fixed_tokens(
+    data_u8: jax.Array,
+    tok_pos: jax.Array,
+    tok_len: jax.Array,
+    tok_dist: jax.Array,
+    ntok: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Map tokens to (bits, nbits) with the fixed Huffman alphabets.
+
+    Appends the end-of-block symbol at slot ``ntok``. All values fit 31 bits.
+    """
+    b, nt = tok_pos.shape
+    rows = jnp.arange(b, dtype=_I32)[:, None]
+
+    flit_code, flit_n = tables.fixed_litlen_codes()
+    fdist_code, _ = tables.fixed_dist_codes()
+    len_sym, len_eb, len_base = tables.length_tables()
+    dist_sym, dist_eb, dist_base = tables.dist_tables()
+
+    flit_code = jnp.asarray(flit_code)
+    flit_n = jnp.asarray(flit_n)
+    fdist_code = jnp.asarray(fdist_code)
+    len_sym, len_eb, len_base = map(jnp.asarray, (len_sym, len_eb, len_base))
+    dist_sym, dist_eb, dist_base = map(jnp.asarray, (dist_sym, dist_eb, dist_base))
+
+    lit_byte = jnp.take_along_axis(data_u8, jnp.clip(tok_pos, 0, data_u8.shape[1] - 1), axis=1).astype(_I32)
+    is_match = tok_len > 0
+
+    # literal path
+    lit_bits = jnp.take(flit_code, lit_byte)
+    lit_n = jnp.take(flit_n, lit_byte)
+
+    # match path
+    l = jnp.clip(tok_len, 0, MAX_MATCH)
+    lsym = jnp.take(len_sym, l)
+    leb = jnp.take(len_eb, l)
+    lext = (l - jnp.take(len_base, l)).astype(_U32)
+    lcode = jnp.take(flit_code, lsym)
+    lnb = jnp.take(flit_n, lsym)
+
+    d = jnp.clip(tok_dist, 0, MAX_DIST)
+    dsym = jnp.take(dist_sym, d)
+    deb = jnp.take(dist_eb, d)
+    dext = (d - jnp.take(dist_base, d)).astype(_U32)
+    dcode = jnp.take(fdist_code, dsym)
+
+    sh1 = lnb.astype(_U32)
+    sh2 = (lnb + leb).astype(_U32)
+    sh3 = (lnb + leb + 5).astype(_U32)
+    match_bits = lcode | (lext << sh1) | (dcode << sh2) | (dext << sh3)
+    match_n = lnb + leb + 5 + deb
+
+    bits = jnp.where(is_match, match_bits, lit_bits)
+    nbits = jnp.where(is_match, match_n, lit_n)
+
+    slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
+    active = slot < ntok[:, None]
+    bits = jnp.where(active, bits, 0)
+    nbits = jnp.where(active, nbits, 0)
+
+    # end-of-block: symbol 256, fixed code 0000000 (7 zero bits)
+    bits = bits.at[rows, ntok[:, None]].set(0)
+    nbits = nbits.at[rows, ntok[:, None]].set(7)
+    return bits, nbits
+
+
+def _scatter_bits(words, rows, off, value_u32, max_sig_bits: int):
+    """OR a <=32-bit value at absolute bit offset ``off`` into the word
+    buffer via two scatter-adds (contributions have disjoint bits)."""
+    w = off >> 5
+    s = (off & 31).astype(_U32)
+    c0 = value_u32 << s
+    c1 = (value_u32 >> (jnp.uint32(31) - s)) >> jnp.uint32(1)
+    words = words.at[rows, w].add(c0)
+    words = words.at[rows, w + 1].add(c1)
+    return words
+
+
+def encode_deflate_blocks(
+    cfg: DeflateEncodeConfig,
+    data_u8: jax.Array,
+    lengths: jax.Array,
+    is_final: jax.Array,
+):
+    """Compress a batch of blocks. Returns dict with:
+
+    * ``out``:   [B, cfg.out_bytes] uint8 — framed output (header+payload+footer
+      for members; bare deflate chunk for stream mode)
+    * ``out_len``: [B] int32 — valid bytes of ``out``
+    * ``check``: [B] uint32 — per-block crc32/adler32 of the (padded) input,
+      or zeros when cfg.checksum == 'none'
+    """
+    b, n = data_u8.shape
+    assert n == cfg.block_len
+    rows = jnp.arange(b, dtype=_I32)[:, None]
+
+    min_emit = MIN_MATCH
+    match_len, match_dist = lz.best_matches(
+        data_u8,
+        lengths,
+        max_dist=MAX_DIST,
+        max_match=MAX_MATCH,
+        min_emit=min_emit,
+        max_words=cfg.max_words,
+    )
+    tok_pos, tok_len, tok_dist, ntok = lz.parse_tokens(
+        match_len, match_dist, lengths, window=cfg.window, min_emit=min_emit
+    )
+    bits, nbits = emit_fixed_tokens(data_u8, tok_pos, tok_len, tok_dist, ntok)
+
+    hdr_bits = 8 * cfg.header_len
+    member = cfg.mode != "stream"
+    final = jnp.ones((b,), jnp.bool_) if member else is_final
+
+    # absolute bit offsets (3-bit deflate block header precedes token 0)
+    csum = jnp.cumsum(nbits, axis=1)
+    off = hdr_bits + 3 + (csum - nbits)
+    total_bits = hdr_bits + 3 + csum[:, -1]  # end of EOB
+
+    words = jnp.zeros((b, cfg.out_words), dtype=_U32)
+    # deflate block header: BFINAL | BTYPE=01 -> value 2|final, 3 bits
+    hdr_val = (jnp.uint32(2) | final.astype(_U32))[:, None]
+    hdr_off = jnp.full((b, 1), hdr_bits, dtype=_I32)
+    words = _scatter_bits(words, rows, hdr_off, hdr_val, 3)
+    # tokens
+    words = _scatter_bits(words, rows, off, bits.astype(_U32), 31)
+
+    if member:
+        end_bits = (total_bits + 7) & ~7
+    else:
+        # Z_SYNC_FLUSH trailer for non-final chunks: empty stored block
+        # '000' + pad-to-byte + LEN=0x0000 NLEN=0xFFFF (all-zero bits except
+        # the NLEN half, scattered as one aligned 32-bit value).
+        o2 = (total_bits + 3 + 7) & ~7
+        words = _scatter_bits(
+            words,
+            rows,
+            jnp.where(final, 0, o2)[:, None],
+            jnp.where(final, 0, jnp.uint32(0xFFFF0000))[:, None],
+            32,
+        )
+        end_bits = jnp.where(final, (total_bits + 7) & ~7, o2 + 32)
+
+    # words -> little-endian bytes
+    by = jnp.stack(
+        [
+            (words & 0xFF),
+            (words >> 8) & 0xFF,
+            (words >> 16) & 0xFF,
+            (words >> 24) & 0xFF,
+        ],
+        axis=-1,
+    ).reshape(b, cfg.out_bytes).astype(_U8)
+
+    deflate_bytes = (end_bits >> 3) - cfg.header_len
+
+    if cfg.checksum == "crc32":
+        chk = crc32_device(data_u8, lengths)
+    elif cfg.checksum == "adler32":
+        chk = adler32_device(data_u8, lengths)
+    else:
+        chk = jnp.zeros((b,), _U32)
+
+    if member:
+        tmpl = _member_header_template(cfg.mode, cfg.level)
+        by = by.at[:, : cfg.header_len].set(jnp.asarray(tmpl)[None, :])
+        if cfg.mode == "mgzip":
+            blen = (deflate_bytes + MGZIP_HEADER_SIZE + 8).astype(_U32)
+            size_bytes = jnp.stack(
+                [blen & 0xFF, (blen >> 8) & 0xFF, (blen >> 16) & 0xFF, (blen >> 24) & 0xFF],
+                axis=-1,
+            ).astype(_U8)
+            by = by.at[:, 16:20].set(size_bytes)
+        else:  # bgzf: BSIZE u16 = total member size - 1
+            bsize = (deflate_bytes + BGZF_HEADER_SIZE + 8 - 1).astype(_U32)
+            size_bytes = jnp.stack([bsize & 0xFF, (bsize >> 8) & 0xFF], axis=-1).astype(_U8)
+            by = by.at[:, 16:18].set(size_bytes)
+
+        # footer: crc32 (of the uncompressed block) + ISIZE, little-endian
+        mcrc = crc32_device(data_u8, lengths) if cfg.checksum != "crc32" else chk
+        isize = lengths.astype(_U32)
+        foot = jnp.stack(
+            [
+                mcrc & 0xFF, (mcrc >> 8) & 0xFF, (mcrc >> 16) & 0xFF, (mcrc >> 24) & 0xFF,
+                isize & 0xFF, (isize >> 8) & 0xFF, (isize >> 16) & 0xFF, (isize >> 24) & 0xFF,
+            ],
+            axis=-1,
+        ).astype(_U8)
+        foot_pos = (cfg.header_len + deflate_bytes)[:, None] + jnp.arange(8, dtype=_I32)[None, :]
+        by = by.at[rows, foot_pos].set(foot)
+        out_len = cfg.header_len + deflate_bytes + 8
+        chk = mcrc
+    else:
+        out_len = deflate_bytes
+
+    return {"out": by, "out_len": out_len.astype(_I32), "check": chk, "ntok": ntok}
+
+
+@functools.lru_cache(maxsize=32)
+def get_encoder(cfg: DeflateEncodeConfig):
+    """Jitted batched encoder for a static config (donated inputs allowed)."""
+
+    @jax.jit
+    def run(data_u8, lengths, is_final):
+        return encode_deflate_blocks(cfg, data_u8, lengths, is_final)
+
+    return run
