@@ -1,0 +1,369 @@
+"""Block-parallel compression runtime — the ``ParCompress`` equivalent.
+
+Reference architecture (src/par/compress.rs): caller buffer accumulation,
+N compressor worker threads fed over bounded channels, and an ordered
+writer thread stitching results. The TPU-native shape of the same design:
+
+* the caller's ``write()`` accumulates bytes and cuts fixed-size blocks
+  (reference ``ParCompress::write``, src/par/compress.rs:404-463);
+* a *batch* of ``num_threads`` blocks is padded into a static ``[B, N]``
+  uint8 array and dispatched to the jitted device encoder — the worker
+  pool becomes data-parallel lanes of one XLA program (optionally sharded
+  over a device mesh);
+* JAX's async dispatch is the pipeline: up to ``queue_depth`` batches are
+  in flight while the host stitches finished ones in submission order —
+  ordering is by construction (batch index), so the reference's
+  channel-of-channels reordering machinery is unnecessary;
+* per-block checksums come back with each batch and are folded into the
+  stream check via O(log) combine (the pigz COMB trick, reference
+  src/par/compress.rs:302-313).
+
+Failure semantics mirror the reference: any device/sink error poisons the
+writer; later calls surface the root error (src/par/compress.rs:428-457),
+and ``close()``/GC finalizes the stream if the user forgets
+(src/par/compress.rs:391-402).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import BinaryIO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gzp_tpu.constants import (
+    DEFAULT_COMPRESSION_LEVEL,
+    DICT_SIZE,
+    MAX_BGZF_BLOCK_SIZE,
+    clamp_compression_level,
+)
+from gzp_tpu.errors import (
+    BlockSizeExceededError,
+    BufferSizeError,
+    ChannelError,
+    NumThreadsError,
+    WriterClosedError,
+)
+from gzp_tpu.formats.base import FormatSpec
+from gzp_tpu.ops import host_codec
+from gzp_tpu.ops.deflate_kernel import DeflateEncodeConfig, get_encoder
+
+DEFAULT_NUM_THREADS = 16
+DEFAULT_QUEUE_DEPTH = 3
+
+
+class ParCompress:
+    """Streaming writer compressing blocks in parallel on device.
+
+    File-like: ``write``, ``flush``, ``finish``, ``close``, context manager.
+    ``finish()`` finalizes the stream and returns the underlying writer
+    (reference ``ZWriter::finish``, src/lib.rs:166-170).
+    """
+
+    def __init__(
+        self,
+        format_spec: FormatSpec,
+        writer: BinaryIO,
+        *,
+        num_threads: int = DEFAULT_NUM_THREADS,
+        compression_level: int = DEFAULT_COMPRESSION_LEVEL,
+        buffer_size: int | None = None,
+        queue_depth: int = DEFAULT_QUEUE_DEPTH,
+        mesh: jax.sharding.Mesh | None = None,
+    ) -> None:
+        if num_threads < 1:
+            raise NumThreadsError(num_threads)
+        buffer_size = buffer_size or format_spec.default_bufsize
+        if buffer_size < DICT_SIZE:
+            # reference ParCompressBuilder::buffer_size (src/par/compress.rs:68-74)
+            raise BufferSizeError(buffer_size, DICT_SIZE)
+        if format_spec.max_input_block is not None:
+            buffer_size = min(buffer_size, format_spec.max_input_block)
+
+        self.format = format_spec
+        self.writer = writer
+        self.level = clamp_compression_level(compression_level)
+        self.block_size = buffer_size
+        self.batch = max(1, num_threads)
+        self.queue_depth = queue_depth
+        self.mesh = mesh
+
+        self._buffer = bytearray()
+        self._inflight: collections.deque = collections.deque()
+        self._check = format_spec.create_check()
+        self._header_written = False
+        self._finished = False
+        self._error: BaseException | None = None
+        self._wrote_final_block = False
+        self._emitted_any = False
+
+        if format_spec.codec == "deflate":
+            checksum = {"crc32": "crc32", "adler32": "adler32"}.get(
+                format_spec.check_cls().name, "none"
+            )
+            self._cfg = DeflateEncodeConfig(
+                block_len=self.block_size,
+                mode=format_spec.kernel_mode,
+                checksum=checksum,
+                level=self.level,
+            )
+            self._encoder = get_encoder(self._cfg)
+        elif format_spec.codec == "snappy":
+            from gzp_tpu.ops.snappy_kernel import SnappyEncodeConfig, get_snappy_encoder
+
+            self._cfg = SnappyEncodeConfig(block_len=self.block_size)
+            self._encoder = get_snappy_encoder(self._cfg)
+        else:
+            raise ValueError(f"unknown codec {format_spec.codec}")
+
+        if mesh is not None:
+            spec = jax.sharding.PartitionSpec(mesh.axis_names[0])
+            sharding = jax.sharding.NamedSharding(mesh, spec)
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            base = self._encoder
+            self._encoder = jax.jit(
+                base,
+                in_shardings=(sharding, sharding, sharding),
+                out_shardings=None,
+            )
+            if self.batch % mesh.size != 0:
+                self.batch = ((self.batch + mesh.size - 1) // mesh.size) * mesh.size
+
+    # ------------------------------------------------------------------
+    # io.RawIOBase-ish surface
+    # ------------------------------------------------------------------
+
+    def write(self, data) -> int:
+        self._ensure_open()
+        self._buffer += data
+        batch_bytes = self.block_size * self.batch
+        while len(self._buffer) >= batch_bytes:
+            chunk = bytes(self._buffer[:batch_bytes])
+            del self._buffer[:batch_bytes]
+            self._dispatch_full_batch(chunk)
+        return len(data)
+
+    def flush(self) -> None:
+        """Push all buffered bytes through the device (a partial block is
+        emitted as its own non-final block), drain, flush the sink."""
+        self._ensure_open()
+        if self._buffer:
+            self._dispatch_tail(bytes(self._buffer), final=False)
+            self._buffer.clear()
+        self._drain_all()
+        self.writer.flush()
+
+    def finish(self):
+        """Finalize the stream; returns the underlying writer."""
+        if self._finished:
+            return self.writer
+        self._ensure_open()
+        data = bytes(self._buffer)
+        self._buffer.clear()
+        self._dispatch_tail(data, final=True)
+        self._drain_all()
+        if not self._header_written:
+            self._write_header()
+        trailer = self.format.trailer_bytes()
+        if trailer:
+            self.writer.write(trailer)
+        footer = self.format.footer(self._check)
+        if footer:
+            self.writer.write(footer)
+        self._finished = True
+        return self.writer
+
+    def close(self) -> None:
+        if not self._finished and self._error is None:
+            self.finish()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.finish()
+
+    def __del__(self):  # drop-implies-finish (reference src/par/compress.rs:391-402)
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    # pipeline internals
+    # ------------------------------------------------------------------
+
+    def _ensure_open(self) -> None:
+        if self._finished:
+            raise WriterClosedError("writer already finished")
+        if self._error is not None:
+            raise ChannelError("compression pipeline failed") from self._error
+
+    def _write_header(self) -> None:
+        hdr = self.format.header(self.level)
+        if hdr:
+            self.writer.write(hdr)
+        self._header_written = True
+
+    def _dispatch_full_batch(self, chunk: bytes) -> None:
+        n, b = self.block_size, self.batch
+        arr = np.frombuffer(chunk, dtype=np.uint8).reshape(b, n)
+        lengths = np.full(b, n, dtype=np.int32)
+        finals = np.zeros(b, dtype=bool)
+        self._dispatch(arr, lengths, finals)
+
+    def _dispatch_tail(self, data: bytes, final: bool) -> None:
+        """Dispatch remaining bytes (always < one full batch), padding the
+        batch; marks the last real block final when closing the stream.
+        A final call with no data still dispatches one empty final block —
+        that's what closes a deflate stream / emits the empty member for an
+        empty input (reference flush_last, src/par/compress.rs:332-341)."""
+        n, b = self.block_size, self.batch
+        if not data and not final:
+            return
+        if not data and final and self._wrote_final_block:
+            return
+        while True:
+            take = data[: n * b]
+            data = data[n * b :]
+            cnt = -(-len(take) // n) if take else (1 if final and not data else 0)
+            if cnt == 0:
+                return
+            arr = np.zeros((b, n), dtype=np.uint8)
+            lengths = np.zeros(b, dtype=np.int32)
+            finals = np.zeros(b, dtype=bool)
+            for i in range(cnt):
+                piece = take[i * n : (i + 1) * n]
+                arr[i, : len(piece)] = np.frombuffer(piece, dtype=np.uint8)
+                lengths[i] = len(piece)
+            if final and not data:
+                finals[cnt - 1] = True
+                self._wrote_final_block = True
+            self._dispatch(arr, lengths, finals, count=cnt)
+            if not data:
+                return
+
+    def _dispatch(self, arr, lengths, finals, count: int | None = None) -> None:
+        try:
+            res = self._encoder(jnp.asarray(arr), jnp.asarray(lengths), jnp.asarray(finals))
+        except Exception as e:  # compile/dispatch failure
+            self._error = e
+            raise
+        self._inflight.append((res, arr, lengths, finals, count or len(lengths)))
+        while len(self._inflight) > self.queue_depth:
+            self._consume_one()
+
+    def _drain_all(self) -> None:
+        while self._inflight:
+            self._consume_one()
+
+    def _consume_one(self) -> None:
+        res, arr, lengths, finals, count = self._inflight.popleft()
+        try:
+            out = np.asarray(res["out"])
+            out_len = np.asarray(res["out_len"])
+            chks = np.asarray(res["check"])
+        except Exception as e:
+            self._error = e
+            raise
+        if not self._header_written:
+            self._write_header()
+        self._stitch_batch(out, out_len, chks, arr, lengths, finals, count)
+
+    def _stitch_batch(self, out, out_len, chks, arr, lengths, finals, count) -> None:
+        fmt = self.format
+        member = fmt.kernel_mode in ("mgzip", "bgzf")
+        pieces: list[bytes] = []
+        for i in range(count):
+            ln = int(lengths[i])
+            fin = bool(finals[i])
+            if ln == 0 and not fin:
+                continue  # padding block
+            if ln == 0 and fin and member and self._emitted_any:
+                # member formats don't need a closing block; only an
+                # entirely-empty stream gets one empty member
+                continue
+            blob = out[i, : int(out_len[i])].tobytes()
+            blob = self._maybe_fallback(blob, arr[i, :ln].tobytes(), ln, fin)
+            self._check.combine(fmt.check_cls.from_sum(int(chks[i]), ln))
+            pieces.append(blob)
+            self._emitted_any = True
+        if pieces:
+            self.writer.write(b"".join(pieces))
+
+    def _maybe_fallback(self, blob: bytes, raw: bytes, ln: int, final: bool) -> bytes:
+        """Swap in a stored encoding when smaller (the per-block
+        stored/compressed choice zlib makes); enforce the BGZF cap
+        (reference src/bgzf.rs:218-223)."""
+        mode = self.format.kernel_mode
+        if mode == "stream":
+            if ln and len(blob) > host_codec.stored_size(ln):
+                stored = host_codec.stored_deflate(raw, final)
+                if len(stored) < len(blob):
+                    blob = stored
+            return blob
+        if mode in ("mgzip", "bgzf"):
+            hdr = self._cfg.header_len
+            if ln and len(blob) > hdr + 8 + host_codec.stored_size(ln):
+                stored = host_codec.stored_member(raw, mode, self.level)
+                if len(stored) < len(blob):
+                    blob = stored
+            if mode == "bgzf" and len(blob) >= MAX_BGZF_BLOCK_SIZE:
+                raise BlockSizeExceededError(len(blob), MAX_BGZF_BLOCK_SIZE)
+        return blob
+
+
+class ParCompressBuilder:
+    """Builder mirroring the reference's ``ParCompressBuilder``
+    (src/par/compress.rs:33-204)."""
+
+    def __init__(self, format_spec: FormatSpec):
+        self.format_spec = format_spec
+        self._num_threads = DEFAULT_NUM_THREADS
+        self._level = DEFAULT_COMPRESSION_LEVEL
+        self._buffer_size: int | None = None
+        self._mesh: jax.sharding.Mesh | None = None
+        self._queue_depth = DEFAULT_QUEUE_DEPTH
+
+    def num_threads(self, n: int) -> "ParCompressBuilder":
+        if n < 1:
+            raise NumThreadsError(n)
+        self._num_threads = n
+        return self
+
+    def compression_level(self, level: int) -> "ParCompressBuilder":
+        self._level = level
+        return self
+
+    def buffer_size(self, size: int) -> "ParCompressBuilder":
+        if size < DICT_SIZE:
+            raise BufferSizeError(size, DICT_SIZE)
+        self._buffer_size = size
+        return self
+
+    def pin_threads(self, _pin: int | None) -> "ParCompressBuilder":
+        # No-op with a warning-equivalent: device placement replaces CPU
+        # pinning (reference src/lib.rs:221-230 logs and continues).
+        return self
+
+    def mesh(self, mesh: jax.sharding.Mesh | None) -> "ParCompressBuilder":
+        self._mesh = mesh
+        return self
+
+    def queue_depth(self, depth: int) -> "ParCompressBuilder":
+        self._queue_depth = max(1, depth)
+        return self
+
+    def from_writer(self, writer: BinaryIO) -> ParCompress:
+        return ParCompress(
+            self.format_spec,
+            writer,
+            num_threads=self._num_threads,
+            compression_level=self._level,
+            buffer_size=self._buffer_size,
+            queue_depth=self._queue_depth,
+            mesh=self._mesh,
+        )
