@@ -11,7 +11,7 @@ level is ignored; there is no stream header/footer or stream checksum
 from __future__ import annotations
 
 from gzp_tpu import check as _check
-from gzp_tpu.constants import BUFSIZE
+from gzp_tpu.constants import BUFSIZE, SNAPPY_MAX_CHUNK
 from gzp_tpu.formats.base import FormatSpec
 
 
@@ -22,6 +22,9 @@ class _Snap(FormatSpec):
     kernel_mode = "snappy"
     default_bufsize = BUFSIZE
     needs_dict = False
+    # one frame chunk per block lane: cap blocks at the 65536-byte chunk
+    # size (the writer clamps larger requested buffer sizes)
+    max_input_block = SNAPPY_MAX_CHUNK
 
 
 Snap = _Snap()

@@ -1,0 +1,169 @@
+"""Batched snappy-frame encoder.
+
+Device-side equivalent of the reference's snap-crate backend
+(reference src/snap.rs:34-83: each gzp block is encoded as a complete
+snappy *frame* — stream identifier + chunks — so concatenated blocks form
+a valid framed stream). One lane = one block = one frame with a single
+chunk (blocks are capped at snappy's 65536-byte chunk size).
+
+Snappy block format (byte-aligned, google/snappy format_description.txt):
+  * preamble: uncompressed length as LE base-128 varint
+  * literal elements: tag ``(len-1)<<2 | 0b00`` (len <= 60 tag-only form)
+  * copies with 2-byte offset: tag ``(len-1)<<2 | 0b10`` + u16le offset
+    (lengths 4..64 — exactly our match-length cap)
+
+Everything is scatter-based over the compacted token list from
+:mod:`gzp_tpu.ops.lz`: literal runs are grouped with cummax/cummin over
+token slots and chunked into <=60-byte tag-only literal elements; each
+token contributes at most 3 output bytes at prefix-summed offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gzp_tpu.constants import SNAPPY_MAX_CHUNK, SNAPPY_MIN_MATCH, SNAPPY_STREAM_IDENTIFIER
+from gzp_tpu.ops import lz
+from gzp_tpu.ops.checksum import crc32c_masked_device
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_U8 = jnp.uint8
+
+_HDR = 18  # stream identifier (10) + chunk header (4) + masked crc (4)
+_MAX_LIT_ELEM = 60  # tag-only literal element cap
+
+
+@dataclass(frozen=True)
+class SnappyEncodeConfig:
+    block_len: int  # N <= 65536
+    window: int = 256
+    max_words: int = 8
+    max_match: int = 64
+
+    @property
+    def out_bytes(self) -> int:
+        n = self.block_len
+        worst = _HDR + 3 + n + (n + _MAX_LIT_ELEM - 1) // _MAX_LIT_ELEM + 8
+        return (worst + 3) & ~3
+
+
+def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
+    """Compress a batch of blocks into framed snappy. Returns the same
+    output contract as the deflate encoder: ``out`` [B, out_bytes] uint8,
+    ``out_len`` [B] int32, ``check`` [B] uint32 (masked CRC32C of the
+    uncompressed chunk — also embedded in the frame)."""
+    del is_final  # snappy frames need no stream-close marker
+    b, n = data_u8.shape
+    assert n == cfg.block_len and n <= SNAPPY_MAX_CHUNK
+    rows = jnp.arange(b, dtype=_I32)[:, None]
+    nt = n + 1
+
+    match_len, match_dist = lz.best_matches(
+        data_u8,
+        lengths,
+        max_dist=SNAPPY_MAX_CHUNK - 1,
+        max_match=cfg.max_match,
+        min_emit=SNAPPY_MIN_MATCH,
+        max_words=cfg.max_words,
+    )
+    tok_pos, tok_len, tok_dist, ntok = lz.parse_tokens(
+        match_len, match_dist, lengths, window=cfg.window, min_emit=SNAPPY_MIN_MATCH
+    )
+
+    slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
+    active = slot < ntok[:, None]
+    is_match = jnp.logical_and(active, tok_len > 0)
+    is_lit = jnp.logical_and(active, tok_len == 0)
+
+    # ----- literal-run grouping over token slots -----
+    prev_lit = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.bool_), is_lit[:, :-1]], axis=1
+    )
+    run_start = jnp.logical_and(is_lit, jnp.logical_not(prev_lit))
+    start_idx = jax.lax.cummax(jnp.where(run_start, slot, -1), axis=1)
+    big = jnp.asarray(nt, _I32)
+    nonlit_idx = jnp.where(is_lit, big, slot)
+    run_end = jax.lax.cummin(nonlit_idx[:, ::-1], axis=1)[:, ::-1]
+
+    r = slot - start_idx  # position within the literal run
+    remain = run_end - slot  # literals remaining in the run (incl. self)
+    has_tag = jnp.logical_and(is_lit, r % _MAX_LIT_ELEM == 0)
+
+    outsize = jnp.where(
+        is_lit, 1 + has_tag.astype(_I32), jnp.where(is_match, 3, 0)
+    )
+
+    # varint preamble for the uncompressed length
+    ln = lengths.astype(_I32)
+    varint_len = jnp.where(ln < 128, 1, jnp.where(ln < 16384, 2, 3))
+
+    csum = jnp.cumsum(outsize, axis=1)
+    elem_total = csum[:, -1]
+    o = _HDR + varint_len[:, None] + (csum - outsize)
+
+    # ----- byte values -----
+    lit_byte = jnp.take_along_axis(
+        data_u8, jnp.clip(tok_pos, 0, n - 1), axis=1
+    ).astype(_I32)
+    lit_tag = (jnp.minimum(remain, _MAX_LIT_ELEM) - 1) << 2
+    l = tok_len
+    m_tag = 2 | ((l - 1) << 2)
+    off_low = tok_dist & 0xFF
+    off_high = (tok_dist >> 8) & 0xFF
+
+    drop = cfg.out_bytes + 8  # out-of-bounds scatter index -> dropped
+    p0 = jnp.where(has_tag, o, jnp.where(is_match, o, drop))
+    v0 = jnp.where(has_tag, lit_tag, m_tag)
+    p1 = jnp.where(is_lit, o + has_tag.astype(_I32), jnp.where(is_match, o + 1, drop))
+    v1 = jnp.where(is_lit, lit_byte, off_low)
+    p2 = jnp.where(is_match, o + 2, drop)
+    v2 = off_high
+
+    out = jnp.zeros((b, cfg.out_bytes), dtype=_U8)
+    out = out.at[rows, p0].set(v0.astype(_U8), mode="drop")
+    out = out.at[rows, p1].set(v1.astype(_U8), mode="drop")
+    out = out.at[rows, p2].set(v2.astype(_U8), mode="drop")
+
+    # ----- frame headers -----
+    sid = jnp.asarray(np.frombuffer(SNAPPY_STREAM_IDENTIFIER, np.uint8))
+    out = out.at[:, :10].set(sid[None, :])
+    chunk_len = (4 + varint_len + elem_total).astype(_U32)
+    out = out.at[:, 10].set(jnp.zeros((b,), _U8))  # chunk type 0x00
+    out = out.at[:, 11].set((chunk_len & 0xFF).astype(_U8))
+    out = out.at[:, 12].set(((chunk_len >> 8) & 0xFF).astype(_U8))
+    out = out.at[:, 13].set(((chunk_len >> 16) & 0xFF).astype(_U8))
+    crc = crc32c_masked_device(data_u8, lengths)
+    out = out.at[:, 14].set((crc & 0xFF).astype(_U8))
+    out = out.at[:, 15].set(((crc >> 8) & 0xFF).astype(_U8))
+    out = out.at[:, 16].set(((crc >> 16) & 0xFF).astype(_U8))
+    out = out.at[:, 17].set(((crc >> 24) & 0xFF).astype(_U8))
+
+    # varint bytes (first always at 18; trailing bytes scattered, dropped
+    # when the varint is shorter)
+    lnu = ln.astype(_U32)
+    b0 = jnp.where(varint_len > 1, (lnu & 0x7F) | 0x80, lnu & 0x7F)
+    b1 = jnp.where(varint_len > 2, ((lnu >> 7) & 0x7F) | 0x80, (lnu >> 7) & 0x7F)
+    b2 = (lnu >> 14) & 0x7F
+    out = out.at[:, 18].set(b0.astype(_U8))
+    p_b1 = jnp.where(varint_len >= 2, 19, drop)[:, None]
+    p_b2 = jnp.where(varint_len >= 3, 20, drop)[:, None]
+    out = out.at[rows, p_b1].set(b1.astype(_U8)[:, None], mode="drop")
+    out = out.at[rows, p_b2].set(b2.astype(_U8)[:, None], mode="drop")
+
+    out_len = jnp.where(ln > 0, _HDR + varint_len + elem_total, 10)
+    return {"out": out, "out_len": out_len.astype(_I32), "check": crc, "ntok": ntok}
+
+
+@functools.lru_cache(maxsize=16)
+def get_snappy_encoder(cfg: SnappyEncodeConfig):
+    @jax.jit
+    def run(data_u8, lengths, is_final):
+        return encode_snappy_blocks(cfg, data_u8, lengths, is_final)
+
+    return run

@@ -287,18 +287,36 @@ class ParCompress:
                 # entirely-empty stream gets one empty member
                 continue
             blob = out[i, : int(out_len[i])].tobytes()
-            blob = self._maybe_fallback(blob, arr[i, :ln].tobytes(), ln, fin)
+            blob = self._maybe_fallback(blob, arr[i, :ln].tobytes(), ln, fin, int(chks[i]))
             self._check.combine(fmt.check_cls.from_sum(int(chks[i]), ln))
             pieces.append(blob)
             self._emitted_any = True
         if pieces:
             self.writer.write(b"".join(pieces))
 
-    def _maybe_fallback(self, blob: bytes, raw: bytes, ln: int, final: bool) -> bytes:
+    def _maybe_fallback(
+        self, blob: bytes, raw: bytes, ln: int, final: bool, chk: int
+    ) -> bytes:
         """Swap in a stored encoding when smaller (the per-block
         stored/compressed choice zlib makes); enforce the BGZF cap
-        (reference src/bgzf.rs:218-223)."""
+        (reference src/bgzf.rs:218-223). For snappy, switch to an
+        uncompressed frame chunk when compression expanded the block."""
         mode = self.format.kernel_mode
+        if mode == "snappy":
+            if ln:
+                uncompressed_total = 10 + 4 + 4 + ln
+                if len(blob) > uncompressed_total:
+                    from gzp_tpu.constants import SNAPPY_STREAM_IDENTIFIER
+                    from gzp_tpu.utils.serialize import put_le
+
+                    blob = (
+                        SNAPPY_STREAM_IDENTIFIER
+                        + b"\x01"
+                        + put_le(ln + 4, 3)
+                        + put_le(chk, 4)
+                        + raw
+                    )
+            return blob
         if mode == "stream":
             if ln and len(blob) > host_codec.stored_size(ln):
                 stored = host_codec.stored_deflate(raw, final)
