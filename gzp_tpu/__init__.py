@@ -45,6 +45,12 @@ from gzp_tpu.formats import (  # noqa: F401
 )
 from gzp_tpu.parallel.builder import ZBuilder  # noqa: F401
 from gzp_tpu.parallel.compress import ParCompress, ParCompressBuilder  # noqa: F401
+from gzp_tpu.parallel.decompress import (  # noqa: F401
+    MultiGzDecoder,
+    ParDecompress,
+    ParDecompressBuilder,
+    SyncBlockReader,
+)
 from gzp_tpu.parallel.syncz import SyncZ, SyncZBuilder  # noqa: F401
 
 __version__ = "0.1.0"

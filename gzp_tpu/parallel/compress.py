@@ -266,12 +266,14 @@ class ParCompress:
             out = np.asarray(res["out"])
             out_len = np.asarray(res["out_len"])
             chks = np.asarray(res["check"])
+            if not self._header_written:
+                self._write_header()
+            self._stitch_batch(out, out_len, chks, arr, lengths, finals, count)
         except Exception as e:
+            # poison the writer; the root error is preserved and re-raised
+            # (reference error-transparency, src/par/compress.rs:428-457)
             self._error = e
             raise
-        if not self._header_written:
-            self._write_header()
-        self._stitch_batch(out, out_len, chks, arr, lengths, finals, count)
 
     def _stitch_batch(self, out, out_len, chks, arr, lengths, finals, count) -> None:
         fmt = self.format

@@ -1,0 +1,353 @@
+// gzp_tpu native host runtime.
+//
+// The reference delegates its hot host-side codec work to C libraries
+// (libdeflate / zlib-ng, reference Cargo.toml:28-52); this is our
+// from-scratch equivalent for the host half of the pipeline:
+//   * a complete RFC 1951 inflate (stored / fixed / dynamic blocks) used
+//     by the parallel block decompressor (one call per Mgzip/BGZF block,
+//     GIL released via ctypes, fanned out over a thread pool)
+//   * slice-by-8 CRC32 / CRC32C and Adler32 for host-side verification
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+int gzptpu_inflate(const uint8_t *in, size_t in_len, uint8_t *out,
+                   size_t out_cap, size_t *out_written, size_t *in_consumed);
+uint32_t gzptpu_crc32(const uint8_t *buf, size_t len, uint32_t crc);
+uint32_t gzptpu_crc32c(const uint8_t *buf, size_t len, uint32_t crc);
+uint32_t gzptpu_adler32(const uint8_t *buf, size_t len, uint32_t adler);
+}
+
+// ---------------------------------------------------------------------------
+// CRC tables (slice-by-8), built lazily and idempotently.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CrcTables {
+  uint32_t t[8][256];
+  explicit CrcTables(uint32_t poly) {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; k++) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
+      t[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = t[0][i];
+      for (int s = 1; s < 8; s++) {
+        c = (c >> 8) ^ t[0][c & 0xff];
+        t[s][i] = c;
+      }
+    }
+  }
+  uint32_t update(const uint8_t *buf, size_t len, uint32_t crc) const {
+    crc = ~crc;
+    while (len >= 8) {
+      uint64_t w;
+      memcpy(&w, buf, 8);
+      w ^= crc;  // little-endian assumed (x86/arm LE)
+      crc = t[7][w & 0xff] ^ t[6][(w >> 8) & 0xff] ^ t[5][(w >> 16) & 0xff] ^
+            t[4][(w >> 24) & 0xff] ^ t[3][(w >> 32) & 0xff] ^
+            t[2][(w >> 40) & 0xff] ^ t[1][(w >> 48) & 0xff] ^
+            t[0][(w >> 56) & 0xff];
+      buf += 8;
+      len -= 8;
+    }
+    while (len--) crc = (crc >> 8) ^ t[0][(crc ^ *buf++) & 0xff];
+    return ~crc;
+  }
+};
+
+const CrcTables &crc32_tables() {
+  static CrcTables tabs(0xEDB88320u);
+  return tabs;
+}
+const CrcTables &crc32c_tables() {
+  static CrcTables tabs(0x82F63B78u);
+  return tabs;
+}
+
+// ---------------------------------------------------------------------------
+// Bit reader (LSB-first per RFC 1951 §3.1.1)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t *in;
+  size_t len;
+  size_t pos = 0;
+  uint64_t buf = 0;
+  int cnt = 0;
+
+  void refill() {
+    while (cnt <= 56 && pos < len) {
+      buf |= static_cast<uint64_t>(in[pos++]) << cnt;
+      cnt += 8;
+    }
+  }
+  // Peek up to 15 bits; zero-padded past end of input (legal: the final
+  // EOB may end mid-byte and the peek over-reads).
+  uint32_t peek(int n) {
+    if (cnt < n) refill();
+    return static_cast<uint32_t>(buf) & ((1u << n) - 1);
+  }
+  void consume(int n) {
+    buf >>= n;
+    cnt -= n;
+  }
+  uint32_t get(int n) {
+    uint32_t v = peek(n);
+    consume(n);
+    return v;
+  }
+  bool overran() const { return cnt < 0; }
+  void align_byte() {
+    int drop = cnt & 7;
+    consume(drop);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Canonical Huffman decode table: single level, 15-bit index.
+// entry = sym | (len << 9); len == 0 -> invalid code.
+// ---------------------------------------------------------------------------
+
+constexpr int kMaxBits = 15;
+constexpr int kTableSize = 1 << kMaxBits;
+
+struct HufTable {
+  uint16_t entry[kTableSize];
+};
+
+// Build from per-symbol code lengths. Returns false on an invalid
+// (oversubscribed) code. Incomplete codes are accepted for the
+// single-symbol degenerate case like zlib does.
+bool build_table(const uint8_t *lens, int nsym, HufTable *tab) {
+  int count[kMaxBits + 1] = {0};
+  for (int s = 0; s < nsym; s++) count[lens[s]]++;
+  if (count[0] == nsym) return false;  // no codes at all
+
+  // canonical next_code per length (MSB-first codes)
+  uint32_t code = 0;
+  uint32_t next_code[kMaxBits + 1] = {0};
+  int left = 1;
+  for (int l = 1; l <= kMaxBits; l++) {
+    code = (code + count[l - 1]) << 1;
+    next_code[l] = code;
+    left = (left << 1) - count[l];
+    if (left < 0) return false;  // oversubscribed
+  }
+  memset(tab->entry, 0, sizeof(tab->entry));
+  for (int s = 0; s < nsym; s++) {
+    int l = lens[s];
+    if (!l) continue;
+    uint32_t c = next_code[l]++;
+    // bit-reverse the l-bit code for LSB-first lookup
+    uint32_t r = 0;
+    for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
+    uint16_t e = static_cast<uint16_t>(s | (l << 9));
+    for (uint32_t idx = r; idx < kTableSize; idx += (1u << l)) tab->entry[idx] = e;
+  }
+  return true;
+}
+
+const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
+                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
+                               67, 83, 99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,     9,    13,
+                                17,   25,   33,   49,   65,   97,    129,  193,
+                                257,  385,  513,  769,  1025, 1537,  2049, 3073,
+                                4097, 6145, 8193, 12289, 16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2,  3,  3,  4,  4,  5, 5, 6,
+                                6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+thread_local HufTable tl_litlen;
+thread_local HufTable tl_dist;
+
+void build_fixed(HufTable *lit, HufTable *dist) {
+  uint8_t lens[288];
+  for (int i = 0; i < 144; i++) lens[i] = 8;
+  for (int i = 144; i < 256; i++) lens[i] = 9;
+  for (int i = 256; i < 280; i++) lens[i] = 7;
+  for (int i = 280; i < 288; i++) lens[i] = 8;
+  build_table(lens, 288, lit);
+  uint8_t dlens[30];
+  for (int i = 0; i < 30; i++) dlens[i] = 5;
+  build_table(dlens, 30, dist);
+}
+
+const uint8_t kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                              11, 4,  12, 3, 13, 2, 14, 1, 15};
+
+// error codes
+enum {
+  kOk = 0,
+  kErrBlockType = -2,
+  kErrBadCode = -3,
+  kErrOverflow = -4,
+  kErrStored = -5,
+  kErrDistance = -6,
+  kErrTruncated = -7,
+  kErrDynHeader = -8,
+};
+
+int inflate_impl(const uint8_t *in, size_t in_len, uint8_t *out,
+                 size_t out_cap, size_t *out_written, size_t *in_consumed) {
+  BitReader br{in, in_len};
+  size_t o = 0;
+  for (;;) {
+    uint32_t bfinal = br.get(1);
+    uint32_t btype = br.get(2);
+    if (btype == 0) {  // stored
+      br.align_byte();
+      // read LEN/NLEN directly from the byte stream position
+      if (br.cnt % 8 != 0) return kErrStored;
+      uint32_t lenw = br.get(16);
+      uint32_t nlen = br.get(16);
+      if ((lenw ^ 0xffff) != nlen) return kErrStored;
+      if (o + lenw > out_cap) return kErrOverflow;
+      // drain bytes currently in the bit buffer first
+      while (lenw && br.cnt >= 8) {
+        out[o++] = static_cast<uint8_t>(br.buf);
+        br.consume(8);
+        lenw--;
+      }
+      if (lenw) {
+        if (br.pos + lenw > br.len) return kErrTruncated;
+        memcpy(out + o, br.in + br.pos, lenw);
+        br.pos += lenw;
+        o += lenw;
+      }
+    } else if (btype == 1 || btype == 2) {
+      HufTable *lit = &tl_litlen;
+      HufTable *dist = &tl_dist;
+      if (btype == 1) {
+        build_fixed(lit, dist);
+      } else {
+        uint32_t hlit = br.get(5) + 257;
+        uint32_t hdist = br.get(5) + 1;
+        uint32_t hclen = br.get(4) + 4;
+        if (hlit > 286 || hdist > 30) return kErrDynHeader;
+        uint8_t cl_lens[19] = {0};
+        for (uint32_t i = 0; i < hclen; i++) cl_lens[kClOrder[i]] = br.get(3);
+        HufTable cl_tab;
+        if (!build_table(cl_lens, 19, &cl_tab)) return kErrDynHeader;
+        uint8_t lens[286 + 30] = {0};
+        uint32_t n = 0, total = hlit + hdist;
+        while (n < total) {
+          uint16_t e = cl_tab.entry[br.peek(kMaxBits)];
+          int l = e >> 9;
+          if (!l) return kErrDynHeader;
+          br.consume(l);
+          int sym = e & 0x1ff;
+          if (sym < 16) {
+            lens[n++] = static_cast<uint8_t>(sym);
+          } else if (sym == 16) {
+            if (n == 0) return kErrDynHeader;
+            uint32_t rep = 3 + br.get(2);
+            uint8_t prev = lens[n - 1];
+            while (rep-- && n < total) lens[n++] = prev;
+          } else if (sym == 17) {
+            uint32_t rep = 3 + br.get(3);
+            while (rep-- && n < total) lens[n++] = 0;
+          } else {
+            uint32_t rep = 11 + br.get(7);
+            while (rep-- && n < total) lens[n++] = 0;
+          }
+        }
+        if (!build_table(lens, hlit, lit)) return kErrDynHeader;
+        if (!build_table(lens + hlit, hdist, dist)) {
+          // a block with no distance codes at all is legal if no matches
+          // are used; mark table invalid by zeroing
+          memset(dist->entry, 0, sizeof(dist->entry));
+        }
+      }
+      for (;;) {
+        uint16_t e = lit->entry[br.peek(kMaxBits)];
+        int l = e >> 9;
+        if (!l) return kErrBadCode;
+        br.consume(l);
+        int sym = e & 0x1ff;
+        if (sym < 256) {
+          if (o >= out_cap) return kErrOverflow;
+          out[o++] = static_cast<uint8_t>(sym);
+        } else if (sym == 256) {
+          break;
+        } else {
+          sym -= 257;
+          if (sym >= 29) return kErrBadCode;
+          uint32_t length = kLenBase[sym] + br.get(kLenExtra[sym]);
+          uint16_t de = dist->entry[br.peek(kMaxBits)];
+          int dl = de >> 9;
+          if (!dl) return kErrBadCode;
+          br.consume(dl);
+          int dsym = de & 0x1ff;
+          if (dsym >= 30) return kErrBadCode;
+          uint32_t d = kDistBase[dsym] + br.get(kDistExtra[dsym]);
+          if (d > o) return kErrDistance;
+          if (o + length > out_cap) return kErrOverflow;
+          const uint8_t *src = out + o - d;
+          if (d >= length) {
+            memcpy(out + o, src, length);
+          } else {
+            for (uint32_t k = 0; k < length; k++) out[o + k] = src[k];
+          }
+          o += length;
+        }
+      }
+    } else {
+      return kErrBlockType;
+    }
+    if (bfinal) break;
+    if (br.pos >= br.len && br.cnt <= 0) return kErrTruncated;
+  }
+  if (br.overran()) return kErrTruncated;
+  *out_written = o;
+  if (in_consumed) {
+    // bytes actually consumed = loaded bytes minus whole unconsumed bytes
+    // still sitting in the bit buffer (trailing partial byte counts as
+    // consumed — the deflate stream ends mid-byte)
+    *in_consumed = br.pos - static_cast<size_t>(br.cnt / 8);
+  }
+  return kOk;
+}
+
+}  // namespace
+
+extern "C" {
+
+int gzptpu_inflate(const uint8_t *in, size_t in_len, uint8_t *out,
+                   size_t out_cap, size_t *out_written, size_t *in_consumed) {
+  return inflate_impl(in, in_len, out, out_cap, out_written, in_consumed);
+}
+
+uint32_t gzptpu_crc32(const uint8_t *buf, size_t len, uint32_t crc) {
+  return crc32_tables().update(buf, len, crc);
+}
+
+uint32_t gzptpu_crc32c(const uint8_t *buf, size_t len, uint32_t crc) {
+  return crc32c_tables().update(buf, len, crc);
+}
+
+uint32_t gzptpu_adler32(const uint8_t *buf, size_t len, uint32_t adler) {
+  const uint32_t kMod = 65521;
+  uint32_t a = adler & 0xffff, b = (adler >> 16) & 0xffff;
+  while (len) {
+    size_t chunk = len > 5552 ? 5552 : len;  // NMAX before 32-bit overflow
+    len -= chunk;
+    while (chunk--) {
+      a += *buf++;
+      b += a;
+    }
+    a %= kMod;
+    b %= kMod;
+  }
+  return (b << 16) | a;
+}
+
+}  // extern "C"

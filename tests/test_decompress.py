@@ -1,0 +1,139 @@
+"""Parallel decompression tests: own-writer end-to-end roundtrips
+(reference ``test_simple_mgzip_etoe_decompress`` /
+``test_simple_bgzf_etoe_decompress``, src/deflate.rs:994-1051), plus
+foreign-stream decoding (htslib-style BGZF written by an independent
+implementation) and corruption detection."""
+
+import io
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gzp_tpu import (
+    Bgzf,
+    InvalidCheckError,
+    InvalidHeaderError,
+    Mgzip,
+    MultiGzDecoder,
+    ParDecompress,
+    ParDecompressBuilder,
+    SyncBlockReader,
+    ZBuilder,
+)
+from gzp_tpu.errors import GzpError
+
+BS = 32768
+
+
+def make_text(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"end to end decompress test ", b"round and round it goes ",
+             b"0123456789abcdef"]
+    reps, total = [], 0
+    while total < n:
+        w = words[rng.integers(0, len(words))]
+        reps.append(w)
+        total += len(w)
+    return b"".join(reps)[:n]
+
+
+def compress(fmt, payload, nt=2, bs=BS):
+    buf = io.BytesIO()
+    w = ZBuilder(fmt).num_threads(nt).buffer_size(bs).from_writer(buf)
+    w.write(payload)
+    w.finish()
+    return buf.getvalue()
+
+
+def zlib_bgzf_member(data: bytes) -> bytes:
+    """Independent BGZF member built with stdlib zlib (foreign stream)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    payload = co.compress(data) + co.flush()
+    bsize = len(payload) + 18 + 8 - 1
+    hdr = (
+        bytes([31, 139, 8, 4, 0, 0, 0, 0, 0, 255, 6, 0])
+        + b"BC"
+        + struct.pack("<H", 2)
+        + struct.pack("<H", bsize)
+    )
+    return hdr + payload + struct.pack("<II", zlib.crc32(data), len(data))
+
+
+@pytest.mark.parametrize("fmt", [Mgzip, Bgzf])
+@pytest.mark.parametrize("nt", [1, 4])
+def test_etoe_roundtrip(fmt, nt):
+    data = make_text(200_000, seed=nt)
+    blob = compress(fmt, data)
+    r = ParDecompressBuilder(fmt).num_threads(nt).from_reader(io.BytesIO(blob))
+    assert r.read() == data
+
+
+def test_read_in_small_pieces():
+    data = make_text(150_000, seed=5)
+    blob = compress(Bgzf, data)
+    r = ParDecompress(Bgzf, io.BytesIO(blob), num_threads=2)
+    out = bytearray()
+    while True:
+        piece = r.read(1000)
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == data
+
+
+def test_sync_block_reader():
+    data = make_text(100_000, seed=6)
+    blob = compress(Mgzip, data)
+    r = SyncBlockReader(Mgzip, io.BytesIO(blob))
+    assert r.read() == data
+
+
+def test_foreign_bgzf_stream():
+    """Streams produced by an independent implementation must decode
+    (dynamic-Huffman deflate from zlib)."""
+    parts = [make_text(60_000, seed=7), make_text(65280, seed=8), b"tail"]
+    blob = b"".join(zlib_bgzf_member(p) for p in parts)
+    r = ParDecompress(Bgzf, io.BytesIO(blob), num_threads=3)
+    assert r.read() == b"".join(parts)
+
+
+def test_corrupt_crc_detected():
+    data = make_text(50_000, seed=9)
+    blob = bytearray(compress(Bgzf, data))
+    # flip a bit inside the first block's compressed payload
+    blob[30] ^= 0xFF
+    r = ParDecompress(Bgzf, io.BytesIO(bytes(blob)), num_threads=2)
+    with pytest.raises(GzpError):  # InvalidCheck or Decompress error
+        r.read()
+
+
+def test_bad_header_detected():
+    blob = bytearray(compress(Bgzf, b"hello"))
+    blob[12] = ord("X")  # break the 'BC' SID
+    r = ParDecompress(Bgzf, io.BytesIO(bytes(blob)), num_threads=1)
+    with pytest.raises(InvalidHeaderError):
+        r.read()
+
+
+def test_multigz_fallback_reader():
+    import gzip as _gzip
+
+    data = make_text(80_000, seed=10)
+    blob = compress(Mgzip, data)
+    r = ParDecompressBuilder(Mgzip).maybe_par_from_reader(io.BytesIO(blob), num_threads=0)
+    assert isinstance(r, MultiGzDecoder)
+    assert r.read() == data
+    # also reads plain single-member gzip with filename field
+    buf = io.BytesIO()
+    with _gzip.GzipFile(filename="name.txt", fileobj=buf, mode="wb") as g:
+        g.write(data)
+    assert MultiGzDecoder(io.BytesIO(buf.getvalue())).read() == data
+
+
+def test_mgzip_blen_roundtrip_field():
+    blob = compress(Mgzip, make_text(40_000, seed=11))
+    blen = struct.unpack("<I", blob[16:20])[0]
+    Mgzip.check_header(blob[:20])
+    assert Mgzip.get_block_size(blob[:20]) == blen
