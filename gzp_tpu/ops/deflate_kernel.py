@@ -81,6 +81,26 @@ class DeflateEncodeConfig:
     level: int = 6
     window: int = DEFAULT_WINDOW
     max_words: int = 8  # gather-LCP cap (bytes = 4*max_words)
+    lazy: bool = True  # zlib-style lazy matching
+    # halo bytes carried from the previous block (DICT_SIZE for the zlib
+    # family in stream mode, reference src/par/compress.rs:417-423)
+    dict_size: int = 0
+
+    @classmethod
+    def for_level(cls, block_len: int, mode: str, checksum: str, level: int,
+                  dict_size: int = 0) -> "DeflateEncodeConfig":
+        """Map a zlib-style compression level onto search-effort knobs
+        (the reference's level maps to zlib-ng's chain-depth tiers)."""
+        if level <= 1:
+            mw, win, lazy = 4, 256, False
+        elif level <= 5:
+            mw, win, lazy = 8, 256, True
+        else:
+            mw, win, lazy = 16, 512, True
+        return cls(
+            block_len=block_len, mode=mode, checksum=checksum, level=level,
+            window=win, max_words=mw, lazy=lazy, dict_size=dict_size,
+        )
 
     @property
     def header_len(self) -> int:
@@ -184,6 +204,8 @@ def encode_deflate_blocks(
     data_u8: jax.Array,
     lengths: jax.Array,
     is_final: jax.Array,
+    halo: jax.Array | None = None,
+    dict_lens: jax.Array | None = None,
 ):
     """Compress a batch of blocks. Returns dict with:
 
@@ -192,24 +214,43 @@ def encode_deflate_blocks(
     * ``out_len``: [B] int32 — valid bytes of ``out``
     * ``check``: [B] uint32 — per-block crc32/adler32 of the (padded) input,
       or zeros when cfg.checksum == 'none'
+
+    With ``cfg.dict_size > 0``, ``halo`` is ``[B, dict_size]`` uint8 holding
+    each block's preset dictionary right-aligned (the previous block's
+    trailing bytes) and ``dict_lens`` the valid halo byte counts; emitted
+    match distances may reach into the halo — the 32 KiB cross-block
+    dictionary carry (reference src/par/compress.rs:413-423).
     """
     b, n = data_u8.shape
     assert n == cfg.block_len
     rows = jnp.arange(b, dtype=_I32)[:, None]
 
     min_emit = MIN_MATCH
+    base = cfg.dict_size
+    if base:
+        assert halo is not None and dict_lens is not None
+        ext = jnp.concatenate([halo, data_u8], axis=1)
+        halo_start = (base - dict_lens).astype(_I32)
+    else:
+        ext = data_u8
+        halo_start = None
+
     match_len, match_dist = lz.best_matches(
-        data_u8,
+        ext,
         lengths,
         max_dist=MAX_DIST,
         max_match=MAX_MATCH,
         min_emit=min_emit,
         max_words=cfg.max_words,
+        base=base,
+        halo_start=halo_start,
+        lazy=cfg.lazy,
     )
     tok_pos, tok_len, tok_dist, ntok = lz.parse_tokens(
-        match_len, match_dist, lengths, window=cfg.window, min_emit=min_emit
+        match_len, match_dist, lengths, window=cfg.window, min_emit=min_emit,
+        base=base,
     )
-    bits, nbits = emit_fixed_tokens(data_u8, tok_pos, tok_len, tok_dist, ntok)
+    bits, nbits = emit_fixed_tokens(ext, tok_pos, tok_len, tok_dist, ntok)
 
     hdr_bits = 8 * cfg.header_len
     member = cfg.mode != "stream"
@@ -301,10 +342,20 @@ def encode_deflate_blocks(
 
 @functools.lru_cache(maxsize=32)
 def get_encoder(cfg: DeflateEncodeConfig):
-    """Jitted batched encoder for a static config (donated inputs allowed)."""
+    """Jitted batched encoder for a static config."""
 
-    @jax.jit
-    def run(data_u8, lengths, is_final):
-        return encode_deflate_blocks(cfg, data_u8, lengths, is_final)
+    if cfg.dict_size:
+
+        @jax.jit
+        def run(data_u8, lengths, is_final, halo, dict_lens):
+            return encode_deflate_blocks(
+                cfg, data_u8, lengths, is_final, halo, dict_lens
+            )
+
+    else:
+
+        @jax.jit
+        def run(data_u8, lengths, is_final):
+            return encode_deflate_blocks(cfg, data_u8, lengths, is_final)
 
     return run

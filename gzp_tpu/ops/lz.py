@@ -36,9 +36,14 @@ import numpy as np
 _U32 = jnp.uint32
 _I32 = jnp.int32
 
-POS_BITS = 17  # supports blocks up to 128 KiB
-HASH_BITS = 15
 HASH_MUL = np.uint32(0x9E3779B1)  # Fibonacci hashing constant
+
+
+def _pos_bits(n: int) -> int:
+    """Bits needed to index ``n`` positions (the sort key packs
+    ``hash << pos_bits | pos`` into 32 bits; bigger blocks get fewer hash
+    bits)."""
+    return max((n - 1).bit_length(), 1)
 
 
 def _rows(b: int) -> jax.Array:
@@ -60,10 +65,10 @@ def words4(data_u8: jax.Array) -> jax.Array:
     )
 
 
-def hash_positions(w4: jax.Array) -> jax.Array:
+def hash_positions(w4: jax.Array, hash_bits: int) -> jax.Array:
     """Multiplicative hash of each 4-byte window -> [B, N] uint32 in
-    [0, 2**HASH_BITS)."""
-    return (w4 * HASH_MUL) >> np.uint32(32 - HASH_BITS)
+    [0, 2**hash_bits)."""
+    return (w4 * HASH_MUL) >> np.uint32(32 - hash_bits)
 
 
 def prev_occurrences(w4: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -72,13 +77,13 @@ def prev_occurrences(w4: jax.Array) -> tuple[jax.Array, jax.Array]:
     Returns (cand1, cand2), each ``[B, N]`` int32, -1 where absent.
     """
     b, n = w4.shape
-    assert n <= (1 << POS_BITS)
-    h = hash_positions(w4)
+    pos_bits = _pos_bits(n)
+    h = hash_positions(w4, 32 - pos_bits)
     pos = jnp.arange(n, dtype=_U32)[None, :]
-    key = (h << np.uint32(POS_BITS)) | pos
+    key = (h << np.uint32(pos_bits)) | pos
     skey = jnp.sort(key, axis=1)
-    sh = (skey >> np.uint32(POS_BITS)).astype(_I32)
-    sp = (skey & np.uint32((1 << POS_BITS) - 1)).astype(_I32)
+    sh = (skey >> np.uint32(pos_bits)).astype(_I32)
+    sp = (skey & np.uint32((1 << pos_bits) - 1)).astype(_I32)
 
     minus1 = jnp.full((b, 1), -1, dtype=_I32)
     prev_pos1 = jnp.concatenate([minus1, sp[:, :-1]], axis=1)
@@ -153,23 +158,41 @@ def best_matches(
     max_match: int,
     min_emit: int,
     max_words: int = 8,
+    base: int = 0,
+    halo_start: jax.Array | None = None,
+    lazy: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Best match (length, distance) at every position of every block.
 
-    Returns ``(match_len, match_dist)`` each ``[B, N]`` int32 with
+    ``data_u8`` is ``[B, base + N]``: an optional ``base``-byte halo (the
+    previous block's trailing dictionary, reference
+    src/par/compress.rs:417-423) followed by the block payload. Valid
+    payload spans ``[base, base + length)``; match *sources* may reach
+    back to ``halo_start[b]`` (=``base - dict_len``).
+
+    Returns ``(match_len, match_dist)`` each ``[B, base+N]`` int32 with
     ``match_len == 0`` where the position should be a literal. Lengths are
-    clamped to the true block length and ``max_match``; distances respect
+    clamped to the payload end and ``max_match``; distances respect
     ``max_dist`` (32768 for DEFLATE, 65535 for snappy).
+
+    ``lazy=True`` applies zlib's lazy-match heuristic: a match is demoted
+    to a literal when the next position holds a strictly longer match —
+    local, so it parallelizes for free.
     """
-    b, n = data_u8.shape
+    b, n_ext = data_u8.shape
     w4 = words4(data_u8)
-    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=_I32)[None, :], (b, n))
-    len_limit = lengths[:, None] - i_idx  # bytes remaining at each position
+    i_idx = jnp.broadcast_to(jnp.arange(n_ext, dtype=_I32)[None, :], (b, n_ext))
+    end = base + lengths[:, None]
+    len_limit = end - i_idx  # bytes remaining at each position
+    if halo_start is None:
+        lo = jnp.zeros((b, 1), _I32)
+    else:
+        lo = halo_start[:, None].astype(_I32)
 
     cand1, cand2 = prev_occurrences(w4)
 
     def score_candidate(cand):
-        valid = jnp.logical_and(cand >= 0, (i_idx - cand) <= max_dist)
+        valid = jnp.logical_and(cand >= lo, (i_idx - cand) <= max_dist)
         lcp = lcp_via_words(w4, i_idx, cand, valid, max_words)
         lcp = jnp.where(valid, lcp, 0)
         dist = i_idx - cand
@@ -179,6 +202,7 @@ def best_matches(
     l2, d2 = score_candidate(cand2)
     # distance-1 run candidate (full 258-length runs via scan)
     l3 = run_lengths(data_u8)
+    l3 = jnp.where((i_idx - 1) >= lo, l3, 0)
     d3 = jnp.ones_like(i_idx)
 
     # pick by longest length, tie-break on smaller distance
@@ -191,7 +215,13 @@ def best_matches(
 
     ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
     ln = jnp.where(ln >= min_emit, ln, 0)
-    ln = jnp.where(i_idx < lengths[:, None], ln, 0)
+    valid_pos = jnp.logical_and(i_idx >= base, i_idx < end)
+    ln = jnp.where(valid_pos, ln, 0)
+
+    if lazy:
+        ln_next = jnp.concatenate([ln[:, 1:], jnp.zeros((b, 1), _I32)], axis=1)
+        demote = jnp.logical_and(ln > 0, jnp.logical_and(ln < 32, ln_next > ln))
+        ln = jnp.where(demote, 0, ln)
     return ln, dist
 
 
@@ -202,6 +232,7 @@ def parse_tokens(
     *,
     window: int,
     min_emit: int,
+    base: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Windowed greedy parse via pointer-doubling mark propagation.
 
@@ -216,10 +247,12 @@ def parse_tokens(
     """
     b, n = match_len.shape
     assert window & (window - 1) == 0, "window must be a power of two"
+    assert base % window == 0, "halo must be window-aligned"
     rounds = window.bit_length() - 1
     i_idx = jnp.broadcast_to(jnp.arange(n, dtype=_I32)[None, :], (b, n))
     w_end = (i_idx // window + 1) * window
 
+    end = base + lengths[:, None]
     l = jnp.minimum(match_len, w_end - i_idx)
     l = jnp.where(l >= min_emit, l, 0)
     step = jnp.where(l > 0, l, 1)
@@ -229,7 +262,9 @@ def parse_tokens(
     sink = jnp.full((b, 1), n, dtype=_I32)
     j_arr = jnp.concatenate([nxt, sink], axis=1)  # [B, N+1], J[n] = n
 
-    seeds = jnp.logical_and(i_idx % window == 0, i_idx < lengths[:, None])
+    seeds = jnp.logical_and(
+        jnp.logical_and(i_idx % window == 0, i_idx >= base), i_idx < end
+    )
     marked = jnp.concatenate(
         [seeds.astype(_I32), jnp.zeros((b, 1), dtype=_I32)], axis=1
     )
@@ -237,7 +272,9 @@ def parse_tokens(
         marked = marked.at[rows, j_arr].max(marked)
         j_arr = jnp.take_along_axis(j_arr, j_arr, axis=1)
 
-    valid = jnp.logical_and(marked[:, :n] == 1, i_idx < lengths[:, None])
+    valid = jnp.logical_and(
+        marked[:, :n] == 1, jnp.logical_and(i_idx >= base, i_idx < end)
+    )
 
     tidx = jnp.cumsum(valid.astype(_I32), axis=1) - 1
     ntok = jnp.sum(valid.astype(_I32), axis=1)

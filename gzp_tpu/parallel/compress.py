@@ -72,6 +72,7 @@ class ParCompress:
         buffer_size: int | None = None,
         queue_depth: int = DEFAULT_QUEUE_DEPTH,
         mesh: jax.sharding.Mesh | None = None,
+        use_dict: bool = True,
     ) -> None:
         if num_threads < 1:
             raise NumThreadsError(num_threads)
@@ -91,6 +92,7 @@ class ParCompress:
         self.mesh = mesh
 
         self._buffer = bytearray()
+        self._carry = b""  # previous block's trailing dict bytes
         self._inflight: collections.deque = collections.deque()
         self._check = format_spec.create_check()
         self._header_written = False
@@ -103,11 +105,17 @@ class ParCompress:
             checksum = {"crc32": "crc32", "adler32": "adler32"}.get(
                 format_spec.check_cls().name, "none"
             )
-            self._cfg = DeflateEncodeConfig(
+            dict_size = (
+                DICT_SIZE
+                if (use_dict and format_spec.needs_dict and format_spec.kernel_mode == "stream")
+                else 0
+            )
+            self._cfg = DeflateEncodeConfig.for_level(
                 block_len=self.block_size,
                 mode=format_spec.kernel_mode,
                 checksum=checksum,
                 level=self.level,
+                dict_size=dict_size,
             )
             self._encoder = get_encoder(self._cfg)
         elif format_spec.codec == "snappy":
@@ -121,11 +129,11 @@ class ParCompress:
         if mesh is not None:
             spec = jax.sharding.PartitionSpec(mesh.axis_names[0])
             sharding = jax.sharding.NamedSharding(mesh, spec)
-            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            nargs = 5 if getattr(self._cfg, "dict_size", 0) else 3
             base = self._encoder
             self._encoder = jax.jit(
                 base,
-                in_shardings=(sharding, sharding, sharding),
+                in_shardings=(sharding,) * nargs,
                 out_shardings=None,
             )
             if self.batch % mesh.size != 0:
@@ -215,6 +223,37 @@ class ParCompress:
         finals = np.zeros(b, dtype=bool)
         self._dispatch(arr, lengths, finals)
 
+    def _make_halo(self, arr: np.ndarray, lengths: np.ndarray):
+        """Per-block preset dictionaries: row i gets the trailing bytes of
+        row i-1 (right-aligned); row 0 gets the carry from the previous
+        batch. Returns (halo [B,D] u8, dict_lens [B] i32) or (None, None)."""
+        d = getattr(self._cfg, "dict_size", 0)
+        if not d:
+            return None, None
+        b, n = arr.shape
+        halo = np.zeros((b, d), dtype=np.uint8)
+        dict_lens = np.zeros(b, dtype=np.int32)
+        if self._carry:
+            cl = min(len(self._carry), d)
+            halo[0, d - cl :] = np.frombuffer(self._carry[-cl:], np.uint8)
+            dict_lens[0] = cl
+        for i in range(1, b):
+            pl = int(lengths[i - 1])
+            cl = min(pl, d)
+            if cl:
+                halo[i, d - cl :] = arr[i - 1, pl - cl : pl]
+            dict_lens[i] = cl
+        return halo, dict_lens
+
+    def _update_carry(self, arr: np.ndarray, lengths: np.ndarray, count: int) -> None:
+        d = getattr(self._cfg, "dict_size", 0)
+        if not d or count == 0:
+            return
+        pl = int(lengths[count - 1])
+        cl = min(pl, d)
+        if cl:
+            self._carry = arr[count - 1, pl - cl : pl].tobytes()
+
     def _dispatch_tail(self, data: bytes, final: bool) -> None:
         """Dispatch remaining bytes (always < one full batch), padding the
         batch; marks the last real block final when closing the stream.
@@ -247,8 +286,21 @@ class ParCompress:
                 return
 
     def _dispatch(self, arr, lengths, finals, count: int | None = None) -> None:
+        halo, dict_lens = self._make_halo(arr, lengths)
+        self._update_carry(arr, lengths, count or len(lengths))
         try:
-            res = self._encoder(jnp.asarray(arr), jnp.asarray(lengths), jnp.asarray(finals))
+            if halo is not None:
+                res = self._encoder(
+                    jnp.asarray(arr),
+                    jnp.asarray(lengths),
+                    jnp.asarray(finals),
+                    jnp.asarray(halo),
+                    jnp.asarray(dict_lens),
+                )
+            else:
+                res = self._encoder(
+                    jnp.asarray(arr), jnp.asarray(lengths), jnp.asarray(finals)
+                )
         except Exception as e:  # compile/dispatch failure
             self._error = e
             raise
