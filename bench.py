@@ -40,7 +40,7 @@ def make_corpus(nbytes: int) -> bytes:
         "is heir to tis a consummation devoutly to be wished to die to sleep"
     ).split()
     words = [w.encode() for w in vocab]
-    picks = rng.integers(0, len(words), size=nbytes // 5)
+    picks = rng.integers(0, len(words), size=nbytes // 3)
     parts = []
     total = 0
     line = 0

@@ -40,7 +40,7 @@ from gzp_tpu.constants import (
     MGZIP_HEADER_SIZE,
     MIN_MATCH,
 )
-from gzp_tpu.ops import lz, tables
+from gzp_tpu.ops import huffman, lz, tables
 from gzp_tpu.ops.checksum import adler32_device, crc32_device
 
 _U32 = jnp.uint32
@@ -82,6 +82,7 @@ class DeflateEncodeConfig:
     window: int = DEFAULT_WINDOW
     max_words: int = 8  # gather-LCP cap (bytes = 4*max_words)
     lazy: bool = True  # zlib-style lazy matching
+    dynamic: bool = True  # per-block dynamic Huffman (on-device)
     # halo bytes carried from the previous block (DICT_SIZE for the zlib
     # family in stream mode, reference src/par/compress.rs:417-423)
     dict_size: int = 0
@@ -92,14 +93,15 @@ class DeflateEncodeConfig:
         """Map a zlib-style compression level onto search-effort knobs
         (the reference's level maps to zlib-ng's chain-depth tiers)."""
         if level <= 1:
-            mw, win, lazy = 4, 256, False
+            mw, win, lazy, dyn = 4, 256, False, False
         elif level <= 5:
-            mw, win, lazy = 8, 256, True
+            mw, win, lazy, dyn = 8, 256, True, True
         else:
-            mw, win, lazy = 16, 512, True
+            mw, win, lazy, dyn = 16, 512, True, True
         return cls(
             block_len=block_len, mode=mode, checksum=checksum, level=level,
-            window=win, max_words=mw, lazy=lazy, dict_size=dict_size,
+            window=win, max_words=mw, lazy=lazy, dynamic=dyn,
+            dict_size=dict_size,
         )
 
     @property
@@ -112,8 +114,10 @@ class DeflateEncodeConfig:
 
     @property
     def out_words(self) -> int:
-        # worst case: all-literal block at 9 bits/byte + headers/trailers
-        max_bits = 8 * self.header_len + 3 + 9 * (self.block_len + 1) + 7 + 48
+        # worst case: all-literal block at 9 bits/byte (the dynamic table
+        # is only chosen when it beats fixed, so fixed bounds token bits)
+        # + dynamic header + trailers
+        max_bits = 8 * self.header_len + 1344 + 9 * (self.block_len + 1) + 7 + 48
         return (max_bits + 31) // 32 + 4  # slack for the byte footer region
 
     @property
@@ -121,69 +125,76 @@ class DeflateEncodeConfig:
         return 4 * self.out_words
 
 
-def emit_fixed_tokens(
-    data_u8: jax.Array,
+def emit_tokens(
+    data_ext: jax.Array,
     tok_pos: jax.Array,
     tok_len: jax.Array,
     tok_dist: jax.Array,
     ntok: jax.Array,
+    lit_codes: jax.Array,
+    lit_lens: jax.Array,
+    dist_codes: jax.Array,
+    dist_lens: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Map tokens to (bits, nbits) with the fixed Huffman alphabets.
+    """Map tokens to (bits, nbits) pairs using per-block code tables.
 
-    Appends the end-of-block symbol at slot ``ntok``. All values fit 31 bits.
+    Each token produces TWO entries (interleaved even/odd) so every entry
+    stays under 32 bits even with 15-bit dynamic codes:
+      even: literal code, or length code + length extra (<= 20 bits)
+      odd:  distance code + distance extra (<= 28 bits), 0-width for
+            literals.
+    Appends the end-of-block symbol after the last token.
     """
     b, nt = tok_pos.shape
     rows = jnp.arange(b, dtype=_I32)[:, None]
 
-    flit_code, flit_n = tables.fixed_litlen_codes()
-    fdist_code, _ = tables.fixed_dist_codes()
-    len_sym, len_eb, len_base = tables.length_tables()
-    dist_sym, dist_eb, dist_base = tables.dist_tables()
+    len_sym, len_eb, len_base = map(jnp.asarray, tables.length_tables())
+    dist_sym, dist_eb, dist_base = map(jnp.asarray, tables.dist_tables())
 
-    flit_code = jnp.asarray(flit_code)
-    flit_n = jnp.asarray(flit_n)
-    fdist_code = jnp.asarray(fdist_code)
-    len_sym, len_eb, len_base = map(jnp.asarray, (len_sym, len_eb, len_base))
-    dist_sym, dist_eb, dist_base = map(jnp.asarray, (dist_sym, dist_eb, dist_base))
-
-    lit_byte = jnp.take_along_axis(data_u8, jnp.clip(tok_pos, 0, data_u8.shape[1] - 1), axis=1).astype(_I32)
+    lit_byte = jnp.take_along_axis(
+        data_ext, jnp.clip(tok_pos, 0, data_ext.shape[1] - 1), axis=1
+    ).astype(_I32)
     is_match = tok_len > 0
 
-    # literal path
-    lit_bits = jnp.take(flit_code, lit_byte)
-    lit_n = jnp.take(flit_n, lit_byte)
+    lit_bits = jnp.take_along_axis(lit_codes, lit_byte, axis=1)
+    lit_n = jnp.take_along_axis(lit_lens, lit_byte, axis=1)
 
-    # match path
     l = jnp.clip(tok_len, 0, MAX_MATCH)
     lsym = jnp.take(len_sym, l)
     leb = jnp.take(len_eb, l)
     lext = (l - jnp.take(len_base, l)).astype(_U32)
-    lcode = jnp.take(flit_code, lsym)
-    lnb = jnp.take(flit_n, lsym)
+    lcode = jnp.take_along_axis(lit_codes, lsym, axis=1)
+    lnb = jnp.take_along_axis(lit_lens, lsym, axis=1)
 
     d = jnp.clip(tok_dist, 0, MAX_DIST)
     dsym = jnp.take(dist_sym, d)
     deb = jnp.take(dist_eb, d)
     dext = (d - jnp.take(dist_base, d)).astype(_U32)
-    dcode = jnp.take(fdist_code, dsym)
+    dcode = jnp.take_along_axis(dist_codes, dsym, axis=1)
+    dnb = jnp.take_along_axis(dist_lens, dsym, axis=1)
 
-    sh1 = lnb.astype(_U32)
-    sh2 = (lnb + leb).astype(_U32)
-    sh3 = (lnb + leb + 5).astype(_U32)
-    match_bits = lcode | (lext << sh1) | (dcode << sh2) | (dext << sh3)
-    match_n = lnb + leb + 5 + deb
-
-    bits = jnp.where(is_match, match_bits, lit_bits)
-    nbits = jnp.where(is_match, match_n, lit_n)
+    even_bits = jnp.where(
+        is_match, lcode | (lext << lnb.astype(_U32)), lit_bits
+    )
+    even_n = jnp.where(is_match, lnb + leb, lit_n)
+    odd_bits = jnp.where(is_match, dcode | (dext << dnb.astype(_U32)), 0)
+    odd_n = jnp.where(is_match, dnb + deb, 0)
 
     slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
     active = slot < ntok[:, None]
-    bits = jnp.where(active, bits, 0)
-    nbits = jnp.where(active, nbits, 0)
+    even_bits = jnp.where(active, even_bits, 0)
+    even_n = jnp.where(active, even_n, 0)
+    odd_bits = jnp.where(active, odd_bits, 0)
+    odd_n = jnp.where(active, odd_n, 0)
 
-    # end-of-block: symbol 256, fixed code 0000000 (7 zero bits)
-    bits = bits.at[rows, ntok[:, None]].set(0)
-    nbits = nbits.at[rows, ntok[:, None]].set(7)
+    bits = jnp.stack([even_bits, odd_bits], axis=2).reshape(b, 2 * nt)
+    nbits = jnp.stack([even_n, odd_n], axis=2).reshape(b, 2 * nt)
+
+    # end-of-block symbol (256) from the per-block table
+    eob_code = lit_codes[:, 256]
+    eob_n = lit_lens[:, 256]
+    bits = bits.at[rows, (2 * ntok)[:, None]].set(eob_code[:, None])
+    nbits = nbits.at[rows, (2 * ntok)[:, None]].set(eob_n[:, None])
     return bits, nbits
 
 
@@ -250,23 +261,51 @@ def encode_deflate_blocks(
         match_len, match_dist, lengths, window=cfg.window, min_emit=min_emit,
         base=base,
     )
-    bits, nbits = emit_fixed_tokens(ext, tok_pos, tok_len, tok_dist, ntok)
 
-    hdr_bits = 8 * cfg.header_len
     member = cfg.mode != "stream"
     final = jnp.ones((b,), jnp.bool_) if member else is_final
 
-    # absolute bit offsets (3-bit deflate block header precedes token 0)
+    if cfg.dynamic:
+        lit_freq, dist_freq = huffman.token_histograms(
+            ext, tok_pos, tok_len, ntok, tok_dist
+        )
+        (
+            lit_codes,
+            lit_lens,
+            dist_codes,
+            dist_lens,
+            use_dyn,
+            dlit_lens,
+            ddist_lens,
+        ) = huffman.choose_tables(lit_freq, dist_freq)
+        hfield_bits, hfield_n = huffman.dynamic_header_fields(
+            dlit_lens, ddist_lens, final, use_dyn
+        )
+    else:
+        lit_codes, lit_lens, dist_codes, dist_lens = huffman.fixed_table_arrays(b)
+        lit_codes = lit_codes.astype(_U32)
+        dist_codes = dist_codes.astype(_U32)
+        hfield_bits = (jnp.uint32(2) | final.astype(_U32))[:, None]
+        hfield_n = jnp.full((b, 1), 3, _I32)
+
+    bits, nbits = emit_tokens(
+        ext, tok_pos, tok_len, tok_dist, ntok,
+        lit_codes, lit_lens, dist_codes, dist_lens,
+    )
+
+    hdr_bits = 8 * cfg.header_len
+
+    # bit offsets: [member header][deflate block header (+dyn tables)][tokens]
+    hcsum = jnp.cumsum(hfield_n, axis=1)
+    hoff = hdr_bits + (hcsum - hfield_n)
+    deflate_hdr_bits = hdr_bits + hcsum[:, -1]  # [B]
+
     csum = jnp.cumsum(nbits, axis=1)
-    off = hdr_bits + 3 + (csum - nbits)
-    total_bits = hdr_bits + 3 + csum[:, -1]  # end of EOB
+    off = deflate_hdr_bits[:, None] + (csum - nbits)
+    total_bits = deflate_hdr_bits + csum[:, -1]  # end of EOB
 
     words = jnp.zeros((b, cfg.out_words), dtype=_U32)
-    # deflate block header: BFINAL | BTYPE=01 -> value 2|final, 3 bits
-    hdr_val = (jnp.uint32(2) | final.astype(_U32))[:, None]
-    hdr_off = jnp.full((b, 1), hdr_bits, dtype=_I32)
-    words = _scatter_bits(words, rows, hdr_off, hdr_val, 3)
-    # tokens
+    words = _scatter_bits(words, rows, hoff, hfield_bits.astype(_U32), 5)
     words = _scatter_bits(words, rows, off, bits.astype(_U32), 31)
 
     if member:

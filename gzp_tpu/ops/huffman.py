@@ -1,0 +1,313 @@
+"""On-device per-block dynamic Huffman construction (RFC 1951 §3.2.7).
+
+This replaces the host-side tree building inside zlib/libdeflate with a
+fully vectorized, batched construction — no host round trip:
+
+1. **Code lengths**: ``l = min{ l : f * 2^l >= total }`` (the integer form
+   of ``ceil(-log2 p)``), clamped to [1, 15]. Un-clamped, this satisfies
+   Kraft automatically; a bounded fixup loop then makes the code exactly
+   complete (incrementing the biggest-weight symbols while oversubscribed,
+   then spending the remaining Kraft budget largest-power-first), because
+   zlib's inflate rejects incomplete literal/length codes.
+2. **Canonical codes**: per-length counts -> next_code prefix (15 unrolled
+   steps), per-symbol rank via a masked cumulative sum, bit-reversed for
+   the LSB-first stream.
+3. **Header**: a *constant-layout* dynamic header — HLIT=286, HDIST=30,
+   HCLEN=15, and all 16 length-value CL symbols assigned 4-bit codes
+   (Kraft-exact: 16 * 2^-4 = 1), so every block's table description is
+   exactly 3+5+5+4+57+316*4 = 1338 bits with static field offsets. Costs
+   ~60 bytes/block vs zlib's RLE-compressed headers but keeps the whole
+   thing a fixed-shape vector program; per-block fixed-vs-dynamic
+   selection makes it a strict win over fixed Huffman.
+
+The emitter chooses per block between these dynamic tables and the fixed
+tables (exactly zlib's per-block static/dynamic decision, minus the
+stored case which the host pipeline handles).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gzp_tpu.ops import tables
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+NLIT = 286
+NDIST = 30
+HEADER_BITS = 3 + 5 + 5 + 4 + 19 * 3 + (NLIT + NDIST) * 4  # = 1338
+KRAFT_ONE = 1 << 15  # Kraft budget in 2^-15 units
+_FIXUP_ITERS = 48
+
+# CL symbols in the header's permuted order (RFC 1951 §3.2.7)
+CL_ORDER = np.array(
+    [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15],
+    dtype=np.int32,
+)
+
+
+def token_histograms(
+    data_ext: jax.Array,
+    tok_pos: jax.Array,
+    tok_len: jax.Array,
+    ntok: jax.Array,
+    tok_dist: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-block symbol frequencies: (lit_freq [B,286], dist_freq [B,30]).
+    Includes the end-of-block symbol (freq 1)."""
+    b, nt = tok_pos.shape
+    rows = jnp.arange(b, dtype=_I32)[:, None]
+    slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
+    active = slot < ntok[:, None]
+    is_match = jnp.logical_and(active, tok_len > 0)
+
+    len_sym, _, _ = tables.length_tables()
+    dist_sym, _, _ = tables.dist_tables()
+    lit_byte = jnp.take_along_axis(
+        data_ext, jnp.clip(tok_pos, 0, data_ext.shape[1] - 1), axis=1
+    ).astype(_I32)
+    lsym = jnp.take(jnp.asarray(len_sym), jnp.clip(tok_len, 0, 258))
+    sym = jnp.where(is_match, lsym, lit_byte)
+    sym = jnp.where(active, sym, NLIT)  # drop slot
+
+    lit_freq = jnp.zeros((b, NLIT + 1), _I32).at[rows, sym].add(1)
+    lit_freq = lit_freq[:, :NLIT].at[:, 256].add(1)  # EOB
+
+    dsym = jnp.take(jnp.asarray(dist_sym), jnp.clip(tok_dist, 0, 32768))
+    dsym = jnp.where(is_match, dsym, NDIST)
+    dist_freq = jnp.zeros((b, NDIST + 1), _I32).at[rows, dsym].add(1)[:, :NDIST]
+    return lit_freq, dist_freq
+
+
+_INF = 1 << 26  # weight padding (package sums stay below this; keys fit i32)
+
+
+def code_lengths(freq: jax.Array, max_len: int = 15) -> tuple[jax.Array, jax.Array]:
+    """Optimal length-limited code lengths via vectorized package-merge.
+
+    Batched over blocks; per table: ``max_len`` bottom-up rounds of
+    (pairwise package + merge-by-sort), then a top-down active-set count.
+    The key structural fact making this vectorizable: within every
+    level's merged list the *singles* appear in global weight order, so
+    the chosen singles at level k are exactly the ``n_k`` lightest
+    symbols — a symbol's code length is just the number of levels whose
+    ``n_k`` exceeds its weight rank (Larmore-Hirschberg package-merge in
+    its counting form).
+
+    Returns (lens [B,S] int32, ok [B] bool — False for the degenerate
+    <2-used-symbols cases the caller special-cases).
+    """
+    b, s = freq.shape
+    used = freq > 0
+    nused = jnp.sum(used.astype(_I32), axis=1)
+
+    # ascending weight order of used symbols (stable by symbol id)
+    key = jnp.where(used, freq * 512 + jnp.arange(s, dtype=_I32)[None, :], _INF)
+    order = jnp.argsort(key, axis=1)  # [B,S]: order[r] = symbol at rank r
+    singles = jnp.sort(jnp.where(used, freq, _INF), axis=1)  # [B,S] padded
+
+    m2 = 2 * s
+    # bottom-up: list_1 = singles; list_k = merge(singles, packages(list_{k-1}))
+    vals = jnp.concatenate(
+        [singles, jnp.full((b, s), _INF, singles.dtype)], axis=1
+    )  # level-1 list padded to [B, 2S]
+    flags = jnp.zeros((b, m2), _I32)
+    pkg_prefix = []  # per level: cumulative package count in sorted order
+    pkg_prefix.append(jnp.cumsum(flags, axis=1))
+    for _ in range(max_len - 1):
+        pairs = vals[:, 0::2] + vals[:, 1::2]  # [B, S] (INF pads stay INF-ish)
+        pairs = jnp.minimum(pairs, _INF)
+        merged_vals = jnp.concatenate([singles, pairs], axis=1)
+        merged_flags = jnp.concatenate(
+            [jnp.zeros((b, s), _I32), jnp.ones((b, s), _I32)], axis=1
+        )
+        # stable merge by (value, singles-first)
+        mkey = merged_vals * 2 + merged_flags
+        idx = jnp.argsort(mkey, axis=1)
+        vals = jnp.take_along_axis(merged_vals, idx, axis=1)
+        flags = jnp.take_along_axis(merged_flags, idx, axis=1)
+        # don't count INF pads as packages
+        flags = jnp.where(vals >= _INF, 0, flags)
+        pkg_prefix.append(jnp.cumsum(flags, axis=1))
+
+    # top-down active-set counting: m_L = 2n-2; m_{k-1} = 2 * (#packages
+    # among the first m_k items of list_k); singles chosen n_k = m_k - p_k
+    m = jnp.maximum(2 * nused - 2, 0)  # [B]
+    n_ks = []
+    for k in range(max_len - 1, -1, -1):
+        prefix = pkg_prefix[k]
+        p = jnp.where(
+            m > 0,
+            jnp.take_along_axis(prefix, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0],
+            0,
+        )
+        n_ks.append(m - p)
+        m = 2 * p
+
+    # lens by rank: l_r = #{k : r < n_k}; scatter back through `order`
+    ranks = jnp.arange(s, dtype=_I32)[None, :]
+    l_by_rank = jnp.zeros((b, s), _I32)
+    for n_k in n_ks:
+        l_by_rank = l_by_rank + (ranks < n_k[:, None]).astype(_I32)
+    rows = jnp.arange(b, dtype=_I32)[:, None]
+    lens = jnp.zeros((b, s), _I32).at[rows, order].set(l_by_rank)
+    lens = jnp.where(used, lens, 0)
+
+    ok = nused >= 2
+    return lens, ok
+
+
+def canonical_codes(lens: jax.Array) -> jax.Array:
+    """Per-symbol bit-reversed canonical codes from code lengths.
+
+    lens: [B, S] int32 (0 = unused). Returns codes [B, S] uint32, already
+    bit-reversed for LSB-first emission.
+    """
+    b, s = lens.shape
+    onehot = (lens[:, :, None] == jnp.arange(16, dtype=_I32)[None, None, :]).astype(
+        _I32
+    )  # [B,S,16]
+    cnt = jnp.sum(onehot, axis=1)  # [B,16] codes per length
+    # next_code: code = (code + count[l-1]) << 1, unrolled over 15 lengths
+    next_code = [jnp.zeros((b,), _U32)]
+    code = jnp.zeros((b,), _U32)
+    for l in range(1, 16):
+        code = (code + cnt[:, l - 1].astype(_U32)) << 1
+        next_code.append(code)
+    next_code = jnp.stack(next_code, axis=1)  # [B,16]
+
+    rank = jnp.cumsum(onehot, axis=1) - onehot  # exclusive, per length
+    my_rank = jnp.take_along_axis(
+        rank, jnp.clip(lens, 0, 15)[:, :, None], axis=2
+    )[:, :, 0].astype(_U32)
+    base = jnp.take_along_axis(next_code, jnp.clip(lens, 0, 15), axis=1)
+    code = base + my_rank
+
+    # bit-reverse within `lens` bits: reverse a u32 then shift down
+    v = code
+    v = ((v & 0x55555555) << 1) | ((v >> 1) & 0x55555555)
+    v = ((v & 0x33333333) << 2) | ((v >> 2) & 0x33333333)
+    v = ((v & 0x0F0F0F0F) << 4) | ((v >> 4) & 0x0F0F0F0F)
+    v = ((v & 0x00FF00FF) << 8) | ((v >> 8) & 0x00FF00FF)
+    v = (v << 16) | (v >> 16)
+    shift = (32 - jnp.clip(lens, 1, 15)).astype(_U32)
+    rev = jnp.where(lens > 0, v >> shift, 0)
+    return rev
+
+
+def _rev4(x: jax.Array) -> jax.Array:
+    """Reverse 4 bits (CL codes: all 16 symbols at length 4, canonical
+    code == symbol value)."""
+    x = x.astype(_U32)
+    return ((x & 1) << 3) | ((x & 2) << 1) | ((x & 4) >> 1) | ((x & 8) >> 3)
+
+
+def dynamic_header_fields(
+    lit_lens: jax.Array, dist_lens: jax.Array, final: jax.Array, use_dyn: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-block header as (bits [B, F], nbits [B, F]) virtual tokens.
+
+    Dynamic blocks get the full constant-layout 1338-bit header; fixed
+    blocks get just the 3-bit block header (nbits 0 elsewhere).
+    """
+    b = lit_lens.shape[0]
+    f = 1 + 3 + 19 + NLIT + NDIST
+    bits = []
+    nbits = []
+
+    hdr3_dyn = jnp.uint32(4) | final.astype(_U32)  # BFINAL | BTYPE=10
+    hdr3_fix = jnp.uint32(2) | final.astype(_U32)  # BFINAL | BTYPE=01
+    bits.append(jnp.where(use_dyn, hdr3_dyn, hdr3_fix))
+    nbits.append(jnp.full((b,), 3, _I32))
+
+    for val, width in ((NLIT - 257, 5), (NDIST - 1, 5), (19 - 4, 4)):
+        bits.append(jnp.full((b,), val, _U32))
+        nbits.append(jnp.full((b,), width, _I32))
+
+    # 19 CL code lengths, 3 bits each, in permuted order: 4 for value
+    # symbols 0..15, 0 for the unused 16/17/18
+    for symv in CL_ORDER:
+        v = 4 if symv <= 15 else 0
+        bits.append(jnp.full((b,), v, _U32))
+        nbits.append(jnp.full((b,), 3, _I32))
+
+    # 286 + 30 code lengths, each emitted as the 4-bit CL code rev4(l)
+    all_lens = jnp.concatenate([lit_lens, dist_lens], axis=1)  # [B, 316]
+    lens_bits = _rev4(jnp.clip(all_lens, 0, 15))
+    lens_n = jnp.full_like(all_lens, 4)
+
+    head_bits = jnp.stack(bits, axis=1)
+    head_n = jnp.stack(nbits, axis=1)
+    bits_all = jnp.concatenate([head_bits, lens_bits.astype(_U32)], axis=1)
+    n_all = jnp.concatenate([head_n, lens_n], axis=1)
+    # mask the table description away for fixed blocks — both widths AND
+    # values (the bit scatter ORs values regardless of declared width)
+    keep_first = jnp.arange(bits_all.shape[1], dtype=_I32)[None, :] == 0
+    keep = jnp.logical_or(use_dyn[:, None], keep_first)
+    n_all = jnp.where(keep, n_all, 0)
+    bits_all = jnp.where(keep, bits_all, 0)
+    assert bits_all.shape[1] == f
+    return bits_all, n_all
+
+
+def fixed_table_arrays(b: int) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fixed-Huffman tables broadcast to [B, S] for per-block selection."""
+    fc, fn = tables.fixed_litlen_codes()
+    dc, dn = tables.fixed_dist_codes()
+    lit_c = jnp.broadcast_to(jnp.asarray(fc)[None, :NLIT], (b, NLIT))
+    lit_n = jnp.broadcast_to(jnp.asarray(fn)[None, :NLIT], (b, NLIT))
+    dist_c = jnp.broadcast_to(jnp.asarray(dc)[None, :], (b, NDIST))
+    dist_n = jnp.broadcast_to(jnp.asarray(dn)[None, :], (b, NDIST))
+    return lit_c, lit_n, dist_c, dist_n
+
+
+def choose_tables(
+    lit_freq: jax.Array,
+    dist_freq: jax.Array,
+):
+    """Build dynamic tables and the per-block fixed/dynamic decision.
+
+    Returns (lit_codes, lit_lens, dist_codes, dist_lens, use_dyn): table
+    arrays already selected per block (fixed where dynamic loses or is
+    invalid).
+    """
+    b = lit_freq.shape[0]
+    dlit_lens, lit_ok = code_lengths(lit_freq)
+    ddist_lens, dist_ok = code_lengths(dist_freq)
+
+    # distance table edge: no distances at all -> single 1-bit code for
+    # symbol 0 (the degenerate incomplete code zlib itself emits)
+    no_dist = jnp.sum(dist_freq, axis=1) == 0
+    ddist_lens = jnp.where(
+        no_dist[:, None],
+        jnp.zeros_like(ddist_lens).at[:, 0].set(1),
+        ddist_lens,
+    )
+    dist_ok = jnp.logical_or(dist_ok, no_dist)
+    # litlen needs >= 2 used symbols for a complete code (EOB guarantees 1)
+    lit_ok = jnp.logical_and(lit_ok, jnp.sum((lit_freq > 0).astype(_I32), axis=1) >= 2)
+
+    fix_lit_c, fix_lit_n, fix_dist_c, fix_dist_n = fixed_table_arrays(b)
+
+    # bit-cost comparison (extra bits cancel):
+    cost_dyn = HEADER_BITS + jnp.sum(lit_freq * dlit_lens, axis=1) + jnp.sum(
+        dist_freq * ddist_lens, axis=1
+    )
+    cost_fix = 3 + jnp.sum(lit_freq * fix_lit_n, axis=1) + jnp.sum(
+        dist_freq * fix_dist_n, axis=1
+    )
+    use_dyn = jnp.logical_and(
+        jnp.logical_and(lit_ok, dist_ok), cost_dyn < cost_fix
+    )
+
+    dlit_codes = canonical_codes(dlit_lens)
+    ddist_codes = canonical_codes(ddist_lens)
+
+    lit_codes = jnp.where(use_dyn[:, None], dlit_codes, fix_lit_c.astype(_U32))
+    lit_lens = jnp.where(use_dyn[:, None], dlit_lens, fix_lit_n)
+    dist_codes = jnp.where(use_dyn[:, None], ddist_codes, fix_dist_c.astype(_U32))
+    dist_lens = jnp.where(use_dyn[:, None], ddist_lens, fix_dist_n)
+    return lit_codes, lit_lens, dist_codes, dist_lens, use_dyn, dlit_lens, ddist_lens
