@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""stdin -> stdout parallel gzip, the reference's examples/test1.rs
+(a minimal pigz clone).
+
+    python examples/pigz_clone.py < file > file.gz
+    python examples/pigz_clone.py --format bgzf --threads 32 < f > f.bgzf
+"""
+
+import argparse
+import sys
+
+from gzp_tpu import ALL_FORMATS, ZBuilder
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--format", default="gzip", choices=sorted(ALL_FORMATS))
+    ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--level", type=int, default=3)
+    args = ap.parse_args()
+
+    fmt = ALL_FORMATS[args.format]
+    writer = (
+        ZBuilder(fmt)
+        .num_threads(args.threads)
+        .compression_level(args.level)
+        .from_writer(sys.stdout.buffer)
+    )
+    while True:
+        chunk = sys.stdin.buffer.read(1 << 20)
+        if not chunk:
+            break
+        writer.write(chunk)
+    writer.finish()
+
+
+if __name__ == "__main__":
+    main()

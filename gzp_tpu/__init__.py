@@ -43,6 +43,12 @@ from gzp_tpu.formats import (  # noqa: F401
     Snap,
     Zlib,
 )
+from gzp_tpu.formats.sync_io import (  # noqa: F401
+    BgzfSyncReader,
+    BgzfSyncWriter,
+    MgzipSyncReader,
+    MgzipSyncWriter,
+)
 from gzp_tpu.parallel.builder import ZBuilder  # noqa: F401
 from gzp_tpu.parallel.compress import ParCompress, ParCompressBuilder  # noqa: F401
 from gzp_tpu.parallel.decompress import (  # noqa: F401
