@@ -55,6 +55,13 @@ class ParDecompress(io.RawIOBase):
     Only block formats (Mgzip, BGZF) support this — plain gzip can't be
     split without decoding (reference: ParDecompress is bound by
     ``BlockFormatSpec``).
+
+    ``backend='native'`` (default) fans blocks over the C++ inflate
+    thread pool; ``backend='device'`` batches blocks through the TPU
+    inflate kernel (``gzp_tpu.ops.inflate_kernel``) with per-block CRC
+    verification on device; blocks exceeding the device caps or failing
+    on device fall back to the native path (which also produces precise
+    error types).
     """
 
     def __init__(
@@ -64,6 +71,7 @@ class ParDecompress(io.RawIOBase):
         *,
         num_threads: int = DEFAULT_DECOMPRESS_THREADS,
         queue_depth: int | None = None,
+        backend: str = "native",
     ) -> None:
         if num_threads < 1:
             raise NumThreadsError(num_threads)
@@ -74,14 +82,18 @@ class ParDecompress(io.RawIOBase):
             )
         self.format = format_spec
         self.reader = reader
+        self.backend = backend
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         # bounded lookahead = backpressure (reference bounds its channels
         # at 2x num_threads, src/par/decompress.rs:70,142)
         self.queue_depth = queue_depth or num_threads * 2
-        self._pending: list[Future] = []
+        self._pending: list = []
         self._buffer = bytearray()
         self._eof = False
         self._closed = False
+        if backend == "device":
+            self._device_batch = max(num_threads, 8)
+            self.queue_depth = queue_depth or 2
 
     # -- block scanning (the reference's reader thread, :194-210) --
 
@@ -102,13 +114,24 @@ class ParDecompress(io.RawIOBase):
 
     def _fill_pipeline(self) -> None:
         while not self._eof and len(self._pending) < self.queue_depth:
-            block = self._scan_one()
-            if block is None:
-                self._eof = True
-                break
-            self._pending.append(
-                self.pool.submit(_decode_block, self.format, block)
-            )
+            if self.backend == "device":
+                batch = []
+                while len(batch) < self._device_batch:
+                    block = self._scan_one()
+                    if block is None:
+                        self._eof = True
+                        break
+                    batch.append(block)
+                if batch:
+                    self._pending.append(_DeviceBatch(self.format, batch))
+            else:
+                block = self._scan_one()
+                if block is None:
+                    self._eof = True
+                    break
+                self._pending.append(
+                    self.pool.submit(_decode_block, self.format, block)
+                )
 
     def _next_chunk(self) -> bytes | None:
         self._fill_pipeline()
@@ -157,6 +180,67 @@ class ParDecompress(io.RawIOBase):
             self._closed = True
             self.pool.shutdown(wait=False, cancel_futures=True)
         super().close()
+
+
+class _DeviceBatch:
+    """A dispatched device-inflate batch; ``result()`` gathers outputs,
+    verifies CRCs, and falls back to the native path per failing block."""
+
+    # caps sized for BGZF/Mgzip members (compressed member < 64 KiB for
+    # BGZF; larger foreign mgzip blocks fall back to native)
+    IN_CAP = 65536
+    OUT_CAP = 65536
+
+    def __init__(self, fmt: BlockFormatSpec, blocks: list[bytes]):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gzp_tpu.ops.inflate_kernel import InflateConfig, get_inflater
+
+        self.fmt = fmt
+        self.blocks = blocks
+        b = len(blocks)
+        self.footers = [fmt.get_footer_values(blk) for blk in blocks]
+        payloads = [blk[fmt.header_size : len(blk) - 8] for blk in blocks]
+        self.native_idx = [
+            i
+            for i, (p, fv) in enumerate(zip(payloads, self.footers))
+            if len(p) > self.IN_CAP or fv.amount > self.OUT_CAP
+        ]
+        streams = np.zeros((b, self.IN_CAP), np.uint8)
+        in_lens = np.zeros(b, np.int32)
+        out_lens = np.zeros(b, np.int32)
+        for i, (p, fv) in enumerate(zip(payloads, self.footers)):
+            if i in self.native_idx:
+                continue
+            streams[i, : len(p)] = np.frombuffer(p, np.uint8)
+            in_lens[i] = len(p)
+            out_lens[i] = fv.amount
+        cfg = InflateConfig(in_cap=self.IN_CAP, out_cap=self.OUT_CAP)
+        run = get_inflater(cfg)
+        self.out_lens = out_lens
+        self.res = run(jnp.asarray(streams), jnp.asarray(in_lens), jnp.asarray(out_lens))
+
+    def result(self) -> bytes:
+        import numpy as np
+
+        out = np.asarray(self.res["out"])
+        ok = np.asarray(self.res["ok"])
+        crc = np.asarray(self.res["crc"])
+        pieces = []
+        for i, blk in enumerate(self.blocks):
+            fv = self.footers[i]
+            good = (
+                i not in self.native_idx
+                and bool(ok[i])
+                and int(crc[i]) == fv.sum
+            )
+            if good:
+                pieces.append(out[i, : fv.amount].tobytes())
+            else:
+                # native path re-decodes and raises precise errors
+                pieces.append(_decode_block(self.fmt, blk))
+        return b"".join(pieces)
 
 
 class SyncBlockReader(io.RawIOBase):
