@@ -379,6 +379,9 @@ def inflate_blocks(cfg: InflateConfig, streams_u8, in_lens, out_lens):
     for _ in range(int(np.ceil(np.log2(max(cfg.out_cap, 2))))):
         root = jnp.take_along_axis(root, root, axis=1)
     final_out = jnp.take_along_axis(out, root, axis=1)
+    # zero the tail: copy resolution can smear bytes past out_len, and the
+    # device CRC's padding correction needs zero padding
+    final_out = jnp.where(pos_idx < out_lens[:, None], final_out, 0)
 
     return {"out": final_out, "out_count": opos, "ok": jnp.logical_not(error)}
 

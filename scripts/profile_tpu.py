@@ -50,17 +50,10 @@ def main():
     dl = jax.device_put(lengths)
     df = jax.device_put(finals)
 
-    # 2. d2h of a similar-size output
-    big = jnp.zeros((B, N + N // 8), jnp.uint8) + dd[:, :1]
-    jax.block_until_ready(big)
-    t0 = time.perf_counter()
-    h = np.asarray(big)
-    dt = time.perf_counter() - t0
-    print(f"{'d2h transfer':30s} {dt*1e3:9.2f} ms  ({h.nbytes/dt/1e9:.2f} GB/s)")
-
     # 3. stages
-    timeit("words4+hash", jax.jit(lambda d: lz.hash_positions(lz.words4(d))), dd)
-    timeit("sort(keys)", jax.jit(lambda d: jnp.sort((lz.hash_positions(lz.words4(d)) << np.uint32(17)) | jnp.arange(N, dtype=jnp.uint32)[None, :], axis=1)), dd)
+    hb = 32 - lz._pos_bits(N)
+    timeit("words4+hash", jax.jit(lambda d: lz.hash_positions(lz.words4(d), hb)), dd)
+    timeit("sort(keys)", jax.jit(lambda d: jnp.sort((lz.hash_positions(lz.words4(d), hb) << np.uint32(lz._pos_bits(N))) | jnp.arange(N, dtype=jnp.uint32)[None, :], axis=1)), dd)
     timeit("prev_occurrences", jax.jit(lz.prev_occurrences), jax.jit(lz.words4)(dd))
     timeit("run_lengths", jax.jit(lz.run_lengths), dd)
 
