@@ -9,6 +9,8 @@
 import argparse
 import sys
 
+sys.path.insert(0, ".")
+
 from gzp_tpu import ALL_FORMATS, ZBuilder
 
 

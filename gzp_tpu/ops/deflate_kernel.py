@@ -379,22 +379,51 @@ def encode_deflate_blocks(
     return {"out": by, "out_len": out_len.astype(_I32), "check": chk, "ntok": ntok}
 
 
+def compact_outputs(out: jax.Array, out_len: jax.Array) -> jax.Array:
+    """Pack per-block framed outputs end-to-end into one flat buffer.
+
+    ``out`` is ``[B, M]`` uint8 with ``out_len[i]`` valid bytes per row;
+    returns ``flat`` ``[B*M]`` uint8 where block ``i``'s bytes occupy
+    ``[sum(out_len[:i]), sum(out_len[:i+1]))``. Keeps the host from
+    pulling the padded ``[B, M]`` buffer over PCIe: the caller fetches
+    ``flat[:sum(out_len)]`` only (round-1 weakness #3 — the full padded
+    d2h per batch, VERDICT.md).
+    """
+    b, m = out.shape
+    starts = jnp.cumsum(out_len) - out_len  # exclusive prefix [B]
+    pos = starts[:, None] + jnp.arange(m, dtype=_I32)[None, :]
+    valid = jnp.arange(m, dtype=_I32)[None, :] < out_len[:, None]
+    pos = jnp.where(valid, pos, b * m)  # out-of-bounds -> dropped
+    flat = jnp.zeros((b * m,), _U8)
+    flat = flat.at[pos.reshape(-1)].set(out.reshape(-1), mode="drop")
+    return flat
+
+
 @functools.lru_cache(maxsize=32)
-def get_encoder(cfg: DeflateEncodeConfig):
-    """Jitted batched encoder for a static config."""
+def get_encoder(cfg: DeflateEncodeConfig, compact: bool = False):
+    """Jitted batched encoder for a static config.
+
+    With ``compact=True`` the result also carries ``flat`` (see
+    :func:`compact_outputs`) so the host can fetch exactly
+    ``sum(out_len)`` bytes instead of the padded ``[B, out_bytes]``.
+    """
+
+    def encode(data_u8, lengths, is_final, halo=None, dict_lens=None):
+        res = encode_deflate_blocks(cfg, data_u8, lengths, is_final, halo, dict_lens)
+        if compact:
+            res["flat"] = compact_outputs(res["out"], res["out_len"])
+        return res
 
     if cfg.dict_size:
 
         @jax.jit
         def run(data_u8, lengths, is_final, halo, dict_lens):
-            return encode_deflate_blocks(
-                cfg, data_u8, lengths, is_final, halo, dict_lens
-            )
+            return encode(data_u8, lengths, is_final, halo, dict_lens)
 
     else:
 
         @jax.jit
         def run(data_u8, lengths, is_final):
-            return encode_deflate_blocks(cfg, data_u8, lengths, is_final)
+            return encode(data_u8, lengths, is_final)
 
     return run

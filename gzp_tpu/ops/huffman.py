@@ -111,47 +111,53 @@ def code_lengths(freq: jax.Array, max_len: int = 15) -> tuple[jax.Array, jax.Arr
 
     m2 = 2 * s
     # bottom-up: list_1 = singles; list_k = merge(singles, packages(list_{k-1}))
-    vals = jnp.concatenate(
+    # Rolled into a lax.scan (round 1 unrolled 14 argsort rounds inline,
+    # a major compile-time hog); stacked output = per-level cumulative
+    # package counts in sorted order.
+    vals0 = jnp.concatenate(
         [singles, jnp.full((b, s), _INF, singles.dtype)], axis=1
     )  # level-1 list padded to [B, 2S]
-    flags = jnp.zeros((b, m2), _I32)
-    pkg_prefix = []  # per level: cumulative package count in sorted order
-    pkg_prefix.append(jnp.cumsum(flags, axis=1))
-    for _ in range(max_len - 1):
-        pairs = vals[:, 0::2] + vals[:, 1::2]  # [B, S] (INF pads stay INF-ish)
-        pairs = jnp.minimum(pairs, _INF)
+    merged_flags = jnp.concatenate(
+        [jnp.zeros((b, s), _I32), jnp.ones((b, s), _I32)], axis=1
+    )
+
+    def level(vals, _):
+        pairs = jnp.minimum(vals[:, 0::2] + vals[:, 1::2], _INF)  # [B, S]
         merged_vals = jnp.concatenate([singles, pairs], axis=1)
-        merged_flags = jnp.concatenate(
-            [jnp.zeros((b, s), _I32), jnp.ones((b, s), _I32)], axis=1
-        )
         # stable merge by (value, singles-first)
         mkey = merged_vals * 2 + merged_flags
         idx = jnp.argsort(mkey, axis=1)
-        vals = jnp.take_along_axis(merged_vals, idx, axis=1)
+        nvals = jnp.take_along_axis(merged_vals, idx, axis=1)
         flags = jnp.take_along_axis(merged_flags, idx, axis=1)
         # don't count INF pads as packages
-        flags = jnp.where(vals >= _INF, 0, flags)
-        pkg_prefix.append(jnp.cumsum(flags, axis=1))
+        flags = jnp.where(nvals >= _INF, 0, flags)
+        return nvals, jnp.cumsum(flags, axis=1)
+
+    _, pkg_stack = jax.lax.scan(level, vals0, None, length=max_len - 1)
+    # pkg_prefix per level k=0..max_len-1 (level 0 has no packages)
+    pkg_all = jnp.concatenate(
+        [jnp.zeros((1, b, m2), _I32), pkg_stack], axis=0
+    )  # [L, B, 2S]
 
     # top-down active-set counting: m_L = 2n-2; m_{k-1} = 2 * (#packages
     # among the first m_k items of list_k); singles chosen n_k = m_k - p_k
-    m = jnp.maximum(2 * nused - 2, 0)  # [B]
-    n_ks = []
-    for k in range(max_len - 1, -1, -1):
-        prefix = pkg_prefix[k]
+    m0 = jnp.maximum(2 * nused - 2, 0)  # [B]
+
+    def down(m, prefix):
         p = jnp.where(
             m > 0,
             jnp.take_along_axis(prefix, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0],
             0,
         )
-        n_ks.append(m - p)
-        m = 2 * p
+        return 2 * p, m - p
+
+    _, n_ks = jax.lax.scan(down, m0, pkg_all, reverse=True)  # [L, B]
 
     # lens by rank: l_r = #{k : r < n_k}; scatter back through `order`
     ranks = jnp.arange(s, dtype=_I32)[None, :]
-    l_by_rank = jnp.zeros((b, s), _I32)
-    for n_k in n_ks:
-        l_by_rank = l_by_rank + (ranks < n_k[:, None]).astype(_I32)
+    l_by_rank = jnp.sum(
+        (ranks[None, :, :] < n_ks[:, :, None]).astype(_I32), axis=0
+    )
     rows = jnp.arange(b, dtype=_I32)[:, None]
     lens = jnp.zeros((b, s), _I32).at[rows, order].set(l_by_rank)
     lens = jnp.where(used, lens, 0)

@@ -109,9 +109,10 @@ def lcp_via_words(
     on the first mismatching word. Out-of-range gathers clip; callers must
     clamp the result by the real block length."""
     n = w4.shape[1]
-    lcp = jnp.zeros(j_pos.shape, dtype=_I32)
-    alive = valid
-    for k in range(max_words):
+    lcp0 = jnp.zeros(j_pos.shape, dtype=_I32)
+
+    def body(k, carry):
+        lcp, alive = carry
         off = 4 * k
         wi = jnp.take_along_axis(w4, jnp.clip(i_idx + off, 0, n - 1), axis=1, mode="clip")
         wj = jnp.take_along_axis(w4, jnp.clip(j_pos + off, 0, n - 1), axis=1, mode="clip")
@@ -124,6 +125,11 @@ def lcp_via_words(
         ).astype(_I32)
         lcp = lcp + jnp.where(alive, jnp.where(eq, 4, tz), 0)
         alive = jnp.logical_and(alive, eq)
+        return lcp, alive
+
+    # rolled loop: keeps the compiled graph small (the unrolled form was a
+    # dominant share of a 343 s whole-encoder compile in round 1)
+    lcp, _ = jax.lax.fori_loop(0, max_words, body, (lcp0, valid))
     return lcp
 
 
@@ -268,9 +274,13 @@ def parse_tokens(
     marked = jnp.concatenate(
         [seeds.astype(_I32), jnp.zeros((b, 1), dtype=_I32)], axis=1
     )
-    for _ in range(rounds):
+    def body(_, carry):
+        marked, j_arr = carry
         marked = marked.at[rows, j_arr].max(marked)
         j_arr = jnp.take_along_axis(j_arr, j_arr, axis=1)
+        return marked, j_arr
+
+    marked, j_arr = jax.lax.fori_loop(0, rounds, body, (marked, j_arr))
 
     valid = jnp.logical_and(
         marked[:, :n] == 1, jnp.logical_and(i_idx >= base, i_idx < end)

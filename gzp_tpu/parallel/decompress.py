@@ -23,6 +23,7 @@ from typing import BinaryIO
 
 from gzp_tpu.errors import (
     DecompressError,
+    InvalidBlockSizeError,
     InvalidCheckError,
     InvalidHeaderError,
     NumThreadsError,
@@ -106,7 +107,9 @@ class ParDecompress(io.RawIOBase):
         self.format.check_header(hdr)
         size = self.format.get_block_size(hdr)
         if size < self.format.header_size + 8:
-            raise DecompressError(f"invalid block size {size}")
+            raise InvalidBlockSizeError(
+                f"invalid block size {size} (< header + footer)"
+            )
         rest = self.reader.read(size - self.format.header_size)
         if len(rest) != size - self.format.header_size:
             raise DecompressError("truncated block body")

@@ -317,6 +317,81 @@ int inflate_impl(const uint8_t *in, size_t in_len, uint8_t *out,
   return kOk;
 }
 
+// ---------------------------------------------------------------------
+// Raw snappy block decompression (the production frame-decode path; the
+// reference gets this from the snap crate — examples/snap_decode.rs).
+// Format: varint uncompressed length, then tagged elements:
+//   tag&3==0 literal (len in tag or 1-4 trailing bytes)
+//   tag&3==1 copy, 3-bit len (+4), 11-bit offset (3 tag bits + 1 byte)
+//   tag&3==2 copy, 6-bit len (+1), 16-bit LE offset
+//   tag&3==3 copy, 6-bit len (+1), 32-bit LE offset
+// ---------------------------------------------------------------------
+static int snappy_impl(const uint8_t *in, size_t in_len, uint8_t *out,
+                       size_t out_cap, size_t *out_written) {
+  size_t p = 0;
+  // varint expected length
+  uint64_t expect = 0;
+  int shift = 0;
+  while (true) {
+    if (p >= in_len) return kErrTruncated;
+    uint8_t b = in[p++];
+    expect |= static_cast<uint64_t>(b & 0x7f) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+    if (shift > 35) return kErrBlockType;
+  }
+  if (expect > out_cap) return kErrOverflow;
+  size_t o = 0;
+  while (p < in_len) {
+    uint8_t tag = in[p++];
+    uint32_t type = tag & 3;
+    if (type == 0) {  // literal
+      size_t len = (tag >> 2) + 1;
+      if (len > 60) {
+        size_t extra = len - 60;
+        if (p + extra > in_len) return kErrTruncated;
+        len = 0;
+        for (size_t k = 0; k < extra; ++k) len |= static_cast<size_t>(in[p + k]) << (8 * k);
+        len += 1;
+        p += extra;
+      }
+      if (p + len > in_len) return kErrTruncated;
+      if (o + len > out_cap) return kErrOverflow;
+      std::memcpy(out + o, in + p, len);
+      p += len;
+      o += len;
+    } else {
+      size_t len;
+      size_t offset;
+      if (type == 1) {
+        len = ((tag >> 2) & 0x7) + 4;
+        if (p >= in_len) return kErrTruncated;
+        offset = (static_cast<size_t>(tag >> 5) << 8) | in[p++];
+      } else if (type == 2) {
+        len = (tag >> 2) + 1;
+        if (p + 2 > in_len) return kErrTruncated;
+        offset = in[p] | (static_cast<size_t>(in[p + 1]) << 8);
+        p += 2;
+      } else {
+        len = (tag >> 2) + 1;
+        if (p + 4 > in_len) return kErrTruncated;
+        offset = in[p] | (static_cast<size_t>(in[p + 1]) << 8) |
+                 (static_cast<size_t>(in[p + 2]) << 16) |
+                 (static_cast<size_t>(in[p + 3]) << 24);
+        p += 4;
+      }
+      if (offset == 0 || offset > o) return kErrDistance;
+      if (o + len > out_cap) return kErrOverflow;
+      // overlapping copy must proceed byte-forward (RLE semantics)
+      for (size_t k = 0; k < len; ++k) out[o + k] = out[o + k - offset];
+      o += len;
+    }
+  }
+  if (o != expect) return kErrTruncated;
+  *out_written = o;
+  return kOk;
+}
+
 }  // namespace
 
 extern "C" {
@@ -324,6 +399,11 @@ extern "C" {
 int gzptpu_inflate(const uint8_t *in, size_t in_len, uint8_t *out,
                    size_t out_cap, size_t *out_written, size_t *in_consumed) {
   return inflate_impl(in, in_len, out, out_cap, out_written, in_consumed);
+}
+
+int gzptpu_snappy_decompress(const uint8_t *in, size_t in_len, uint8_t *out,
+                             size_t out_cap, size_t *out_written) {
+  return snappy_impl(in, in_len, out, out_cap, out_written);
 }
 
 uint32_t gzptpu_crc32(const uint8_t *buf, size_t len, uint32_t crc) {

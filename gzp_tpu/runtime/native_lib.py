@@ -69,6 +69,14 @@ class NativeCodec:
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.gzptpu_snappy_decompress.restype = ctypes.c_int
+        lib.gzptpu_snappy_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         for name in ("gzptpu_crc32", "gzptpu_crc32c", "gzptpu_adler32"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_uint32
@@ -116,6 +124,26 @@ class NativeCodec:
         if rc != 0:
             raise DecompressError(f"inflate failed: {_ERROR_NAMES.get(rc, rc)}")
         return written.value, consumed.value
+
+    def snappy_decompress(self, data: bytes, max_out: int) -> bytes:
+        """Decompress one raw snappy block (<= ``max_out`` plain bytes).
+
+        The production path behind the frame decoder — the reference gets
+        this from the snap crate (reference examples/snap_decode.rs)."""
+        out = np.empty(max_out, dtype=np.uint8)
+        written = ctypes.c_size_t(0)
+        rc = self._lib.gzptpu_snappy_decompress(
+            data,
+            len(data),
+            out.ctypes.data_as(ctypes.c_void_p),
+            max_out,
+            ctypes.byref(written),
+        )
+        if rc != 0:
+            raise DecompressError(
+                f"snappy decompress failed: {_ERROR_NAMES.get(rc, rc)}"
+            )
+        return out[: written.value].tobytes()
 
     def crc32(self, data: bytes, value: int = 0) -> int:
         return self._lib.gzptpu_crc32(data, len(data), value)

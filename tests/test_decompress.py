@@ -137,3 +137,53 @@ def test_mgzip_blen_roundtrip_field():
     blen = struct.unpack("<I", blob[16:20])[0]
     Mgzip.check_header(blob[:20])
     assert Mgzip.get_block_size(blob[:20]) == blen
+
+
+def test_snappy_frame_decoder_roundtrip():
+    """Production frame decode path (native snappy block decoder), mirror
+    of reference examples/snap_decode.rs usage."""
+    from gzp_tpu import Snap
+    from gzp_tpu.formats.snap import SnappyFrameDecoder
+
+    data = make_text(200_000, seed=12)
+    blob = compress(Snap, data, nt=4, bs=BS)
+    r = SnappyFrameDecoder(io.BytesIO(blob))
+    assert r.read() == data
+    # sized reads drain identically
+    r2 = SnappyFrameDecoder(io.BytesIO(blob))
+    chunks = []
+    while True:
+        c = r2.read(7777)
+        if not c:
+            break
+        chunks.append(c)
+    assert b"".join(chunks) == data
+
+
+def test_snappy_frame_decoder_matches_oracle():
+    from gzp_tpu import Snap
+    from gzp_tpu.formats.snap import SnappyFrameDecoder
+    from gzp_tpu.utils.snappy_ref import decode_frames
+
+    data = make_text(120_000, seed=13)
+    blob = compress(Snap, data, nt=2)
+    assert SnappyFrameDecoder(io.BytesIO(blob)).read() == decode_frames(blob)
+
+
+def test_snappy_frame_decoder_skippable_and_corrupt():
+    from gzp_tpu import Snap
+    from gzp_tpu.formats.snap import SnappyFrameDecoder
+
+    data = make_text(30_000, seed=14)
+    blob = compress(Snap, data)
+    # splice a padding chunk and a skippable chunk after the stream id
+    pad = bytes([0xFE, 3, 0, 0]) + b"xyz"
+    skip = bytes([0x80, 2, 0, 0]) + b"ab"
+    spliced = blob[:10] + pad + skip + blob[10:]
+    assert SnappyFrameDecoder(io.BytesIO(spliced)).read() == data
+
+    # corrupt a chunk CRC -> InvalidCheckError
+    bad = bytearray(blob)
+    bad[14] ^= 0x55  # inside the first chunk's CRC field
+    with pytest.raises(GzpError):
+        SnappyFrameDecoder(io.BytesIO(bytes(bad))).read()
