@@ -44,7 +44,58 @@ def _pick_seg_len(n: int) -> int:
 
 
 def crc_device(data_u8: jax.Array, poly: int) -> jax.Array:
-    """Raw-XOR + fold CRC over full blocks.
+    """Batched CRC over full blocks as two GF(2) matmuls on the MXU.
+
+    Args:
+      data_u8: ``[B, N]`` uint8, every block exactly N real bytes.
+      poly: reflected CRC polynomial (CRC32 or CRC32C).
+
+    Returns:
+      ``[B]`` uint32 of standard (pre/post-conditioned) CRC values.
+
+    CRC is linear over GF(2), so the raw register of each ``seg``-byte
+    segment is ``bits @ M`` (mod 2) for a constant basis matrix, and the
+    pigz-COMB fold across segments is a second constant matmul — both run
+    on the MXU in int8. This replaced a per-byte table gather + log-depth
+    fold that cost ~10 ns/element on XLA:TPU (17.7 ms for a 2 MiB batch,
+    scripts/profile_r2_run1.log).
+    """
+    b, n = data_u8.shape
+    seg = _pick_seg_len(n)
+    nseg = n // seg
+
+    bit_m = jnp.asarray(_tables.crc_bit_matrix(seg, poly))  # [seg*8, 32]
+    fold_m = jnp.asarray(_tables.crc_seg_fold_matrix(nseg, seg, poly))
+
+    d = data_u8.reshape(b * nseg, seg)
+    bits = (
+        (d[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)[None, None, :]) & 1
+    ).astype(jnp.int8).reshape(b * nseg, seg * 8)
+    seg_bits = (
+        jax.lax.dot_general(
+            bits, bit_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        & 1
+    )  # [b*nseg, 32] parity bits of each segment's raw CRC
+    x = seg_bits.astype(jnp.int8).reshape(b, nseg * 32)
+    raw_bits = (
+        jax.lax.dot_general(
+            x, fold_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        & 1
+    )  # [b, 32]
+    raw = jnp.sum(
+        raw_bits.astype(_U32) << jnp.arange(32, dtype=_U32)[None, :], axis=1,
+        dtype=_U32,
+    )
+    init = np.uint32(_tables.crc_init_constant(n, poly))
+    return (raw ^ init) ^ np.uint32(0xFFFFFFFF)
+
+
+def crc_device_gather(data_u8: jax.Array, poly: int) -> jax.Array:
+    """Gather-based CRC (round-1 path, kept for A/B measurement).
 
     Args:
       data_u8: ``[B, N]`` uint8, every block exactly N real bytes.

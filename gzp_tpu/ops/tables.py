@@ -235,3 +235,51 @@ def crc_init_constant(total_len: int, poly: int) -> int:
     # O(total_len) python loop would be slow for big N; use operator matrix.
     tabs = _check.crc_operator_tables(total_len, poly)
     return int(_check.apply_operator_tables(tabs, np.array([r], dtype=np.uint32))[0])
+
+
+@functools.cache
+def crc_bit_matrix(seg_len: int, poly: int) -> np.ndarray:
+    """``[seg_len*8, 32]`` GF(2) basis matrix: row ``q*8+b`` is the raw CRC
+    register contributed by bit ``b`` of the byte at offset ``q`` of a
+    ``seg_len``-byte segment, unpacked to 0/1 int8.
+
+    Lets the per-segment raw CRC be computed as ONE int8 matmul mod 2 on
+    the MXU (bits[B*S, seg*8] @ M), replacing the per-byte table gather —
+    XLA:TPU executes arbitrary-index gathers at ~10 ns/element
+    (scripts/profile_r2_run1.log) while the equivalent matmul is tiny.
+    """
+    pos = crc_position_table(seg_len, poly).reshape(seg_len, 256)
+    contrib = pos[:, [1 << b for b in range(8)]]  # [seg, 8] uint32
+    bits = (
+        (contrib[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+    ).astype(np.int8)
+    return bits.reshape(seg_len * 8, 32)
+
+
+@functools.cache
+def crc_seg_fold_matrix(nseg: int, seg_len: int, poly: int) -> np.ndarray:
+    """``[nseg*32, 32]`` GF(2) matrix folding per-segment raw CRCs into the
+    whole-block raw CRC: rows ``s*32 + j`` hold the register produced by
+    bit ``j`` of segment ``s``'s CRC after advancing past the
+    ``(nseg-1-s)*seg_len`` zero bytes that follow it (pigz-COMB as one
+    matmul instead of a log-depth gather tree)."""
+    max_log = max(int(nseg * seg_len).bit_length(), 1)
+    ladder = crc_shift_ladder(max_log, poly)  # [L, 4, 256] uint32
+    regs = np.broadcast_to(
+        (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, :], (nseg, 32)
+    ).copy()
+    m = (nseg - 1 - np.arange(nseg, dtype=np.int64)) * seg_len
+    for k in range(max_log):
+        mask = ((m >> k) & 1).astype(bool)
+        if not mask.any():
+            continue
+        t = ladder[k]
+        r = regs[mask]
+        regs[mask] = (
+            t[0, r & 0xFF]
+            ^ t[1, (r >> 8) & 0xFF]
+            ^ t[2, (r >> 16) & 0xFF]
+            ^ t[3, (r >> 24) & 0xFF]
+        )
+    bits = ((regs[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1).astype(np.int8)
+    return bits.reshape(nseg * 32, 32)

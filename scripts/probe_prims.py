@@ -84,14 +84,79 @@ for B, N in ((16, 131072), (64, 131072)):
     chain_time(f"[{B},{N}] gather small-table(512) t_a_a",
                lambda d: jnp.take_along_axis(tbl, (d & 511).astype(jnp.int32), axis=1), dd, nelem)
 
-    # one-hot matmul gather from 256-table (bf16 MXU)
-    tbl256 = jax.device_put(rng.standard_normal((256, 1)).astype(np.bfloat16))
+    # one-hot matmul gather from a per-batch 286-table (f32 MXU)
+    tbl286 = jax.device_put(
+        rng.integers(0, 1 << 15, (B, 286)).astype(np.float32)
+    )
 
     def onehot_gather(d):
-        o = jax.nn.one_hot((d & 255).astype(jnp.int32), 256, dtype=jnp.bfloat16)
-        return jnp.einsum("bnk,ko->bno", o, tbl256).astype(jnp.float32).sum(axis=(1, 2)).astype(jnp.uint32)
+        o = jax.nn.one_hot((d % 286).astype(jnp.int32), 286, dtype=jnp.float32)
+        r = jnp.einsum("bnk,bk->bn", o, tbl286)
+        return jnp.sum(r, axis=(0, 1)).astype(jnp.uint32)
 
-    chain_time(f"[{B},{N}] one-hot(256) matmul gather", onehot_gather, dd, nelem)
+    chain_time(f"[{B},{N}] one-hot(286) batched matmul gather", onehot_gather, dd, nelem)
+
+    # chunked gather: one index per 8-lane chunk
+    M = N // 8
+    d3shape = (B, M, 8)
+    cidx = jax.device_put(rng.integers(0, M, (B, M)).astype(np.int32))
+
+    def chunk_gather(d):
+        d3 = d.reshape(*d3shape)
+        out = jnp.take_along_axis(d3, cidx[:, :, None], axis=1)
+        return jnp.sum(out, dtype=jnp.uint32).reshape(-1)[0] * jnp.uint32(1)
+
+    chain_time(f"[{B},{N}] chunked gather (idx per 8 elems)", chunk_gather, dd, nelem)
+
+    # scatter with sorted (identity-ish) indices
+    sidx2 = jax.device_put(np.tile(np.arange(N, dtype=np.int32), (B, 1)))
+    chain_time(f"[{B},{N}] scatter-set sorted idx",
+               lambda d: jnp.zeros_like(d).at[rows, sidx2].set(d), dd, nelem)
+
+    # histogram-286 via scatter-add
+    def hist_scatter(d):
+        h = jnp.zeros((B, 286), jnp.int32).at[rows, (d % 286).astype(jnp.int32)].add(1)
+        return jnp.sum(h, dtype=jnp.int32).astype(jnp.uint32).reshape(-1)[0] * jnp.uint32(1)
+
+    chain_time(f"[{B},{N}] histogram-286 scatter-add", hist_scatter, dd, nelem)
+
+    # histogram-286 via one-hot sum
+    def hist_onehot(d):
+        o = jax.nn.one_hot((d % 286).astype(jnp.int32), 286, dtype=jnp.float32)
+        return jnp.sum(o, dtype=jnp.float32).astype(jnp.uint32)
+
+    chain_time(f"[{B},{N}] histogram-286 one-hot sum", hist_onehot, dd, nelem)
+
+    # multi-operand sort (key + 3 payloads)
+    def msort(d):
+        k, p1, p2, p3 = jax.lax.sort((d, d + 1, d + 2, d + 3), dimension=1, num_keys=1)
+        return jnp.sum(k + p3, dtype=jnp.uint32).reshape(-1)[0] * jnp.uint32(1)
+
+    chain_time(f"[{B},{N}] sort +3 payload operands", msort, dd, nelem)
+
+    # int8 matmul (CRC bit-matmul shape)
+    K = 1024
+    M2 = B * N // 128
+    bits = jax.device_put(rng.integers(0, 2, (M2, K)).astype(np.int8))
+    mat = jax.device_put(rng.integers(0, 2, (K, 32)).astype(np.int8))
+
+    def bitmm(d):
+        r = jax.lax.dot_general(bits, mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return ((r & 1).sum(dtype=jnp.int32) + d[0, 0].astype(jnp.int32)).astype(jnp.uint32)
+
+    chain_time(f"[{B},{N}-eq] int8 matmul [{M2}x{K}]x[{K}x32]", bitmm, dd, nelem)
+
+    # batched bool matmul squaring (parse-by-matmul shape): [W,128,128]
+    W = B * N // (128 * 128) * 8  # scale-representative window count
+    pm = jax.device_put(rng.integers(0, 2, (W, 128, 128)).astype(np.int8))
+
+    def sq(d):
+        r = jnp.minimum(jnp.einsum("wij,wjk->wik", pm, pm,
+                                   preferred_element_type=jnp.int32), 1)
+        return (r.sum(dtype=jnp.int32) + d[0, 0].astype(jnp.int32)).astype(jnp.uint32)
+
+    chain_time(f"[{B},{N}-eq] bool matmul sq [{W},128,128]", sq, dd, nelem)
 
     # bit-matmul (CRC style): [B*N/32, 256] bits x [256, 32] int8->int32
     K = 256
