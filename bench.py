@@ -3,14 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
-Measures *device-side* compression throughput: the corpus is staged into
-HBM once, then the jitted batched encoder is chained over all batches
-inside a single device program (lax.scan) so the measurement reflects the
-chip, not the development-environment tunnel (the axon loopback relay
-moves ~20 MB/s with ~34 ms round trips — see scripts/profile_full.py —
-while a production v5e host feeds chips over PCIe at tens of GB/s).
+Methodology (honest — round 1's async-dispatch timing was retracted, see
+scripts/profile_stages.log): R iterations of the full batched encoder are
+chained INSIDE one jitted fori_loop with a one-byte data dependency
+between iterations, so XLA can neither elide nor overlap them; one scalar
+fetch forces the chain. Per-iteration time is pure device compute.
 Correctness is verified in the same run: one batch's members are pulled
-back and gzip-decoded against the input.
+back and gzip-decoded against the input, and the compressed size is
+compared against CPython zlib level-3 on the same corpus.
 
 Corpus: the reference benches on ~550 MB of shakespeare (reference
 benches/bench.rs:120-150, file stripped from the mirror); an
@@ -65,24 +65,23 @@ def main() -> None:
     enable_compilation_cache()
 
     import gzip as _gzip
+    import zlib as _zlib
 
     import jax
     import jax.numpy as jnp
 
     from gzp_tpu.ops.deflate_kernel import DeflateEncodeConfig, encode_deflate_blocks
 
-    size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    level = int(sys.argv[3]) if len(sys.argv) > 3 else 3  # reference benches level 3
     block_size = 131072
 
-    cfg = DeflateEncodeConfig(block_len=block_size, mode="mgzip", checksum="none")
+    cfg = DeflateEncodeConfig.for_level(block_size, "mgzip", "none", level)
 
-    corpus = make_corpus(size_mb * 1024 * 1024)
     batch_bytes = batch * block_size
-    nbatches = len(corpus) // batch_bytes
-    corpus = corpus[: nbatches * batch_bytes]
-
-    data = np.frombuffer(corpus, np.uint8).reshape(nbatches, batch, block_size)
+    corpus = make_corpus(batch_bytes)
+    data = np.frombuffer(corpus, np.uint8).reshape(batch, block_size)
     lengths = np.full((batch,), block_size, np.int32)
     finals = np.zeros((batch,), bool)
 
@@ -91,71 +90,57 @@ def main() -> None:
     df = jax.device_put(finals)
     jax.block_until_ready(dd)
 
-    def encode_batch(d):
-        res = encode_deflate_blocks(cfg, d, dl, df)
-        return res
-
     @jax.jit
-    def sweep(all_data):
-        def body(carry, d):
-            res = encode_batch(d)
-            total, chk = carry
-            chk = chk ^ jax.lax.reduce(
-                res["check"], jnp.uint32(0), jax.lax.bitwise_xor, (0,)
-            )
-            return (total + jnp.sum(res["out_len"]), chk), None
+    def chain(d):
+        def body(_, carry):
+            salt, x = carry
+            x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
+            res = encode_deflate_blocks(cfg, x, dl, df)
+            tot = jnp.sum(res["out_len"]).astype(jnp.uint32)
+            return tot ^ res["check"][0], x
 
-        (total, chk), _ = jax.lax.scan(body, (jnp.int32(0), jnp.uint32(0)), all_data)
-        return total, chk
+        salt, _ = jax.lax.fori_loop(0, reps, body, (jnp.uint32(0), d))
+        return salt
 
-    vcfg = DeflateEncodeConfig(block_len=block_size, mode="mgzip", checksum="none")
-    vb = min(8, batch)
-
-    @jax.jit
-    def one_batch(d):
-        res = encode_deflate_blocks(
-            vcfg, d, jnp.full((vb,), block_size, jnp.int32), jnp.zeros((vb,), bool)
-        )
-        return res["out"], res["out_len"]
-
-    # warmup / compile
     t0 = time.perf_counter()
-    total, chk = sweep(dd)
-    total = int(total)
-    compile_and_first = time.perf_counter() - t0
+    int(chain(dd))
+    compile_s = time.perf_counter() - t0
 
-    # timed runs: whole-corpus sweep on device, fetch two scalars
-    reps = 3
-    best_dt = float("inf")
-    for _ in range(reps):
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        total, chk = jax.block_until_ready(sweep(dd))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    total = int(total)
-    gbps = len(corpus) / best_dt / 1e9
+        int(chain(dd))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    gbps = batch_bytes / best / 1e9
 
-    # correctness: decode a few members on host
-    out, out_len = one_batch(dd[0][:vb])
-    out = np.asarray(out)
-    out_len = np.asarray(out_len)
-    for i in range(min(4, vb)):
+    # correctness + size: fetch one real batch and gzip-decode every member
+    run = jax.jit(lambda d: encode_deflate_blocks(cfg, d, dl, df))
+    res = run(dd)
+    out = np.asarray(res["out"])
+    out_len = np.asarray(res["out_len"])
+    total_out = int(out_len.sum())
+    for i in range(0, batch, max(batch // 8, 1)):
         plain = _gzip.decompress(out[i, : out_len[i]].tobytes())
-        assert plain == data[0, i].tobytes(), f"bench validation failed at block {i}"
+        assert plain == data[i].tobytes(), f"bench validation failed at block {i}"
 
-    ratio = len(corpus) / (total + nbatches * 0)
+    zlib_size = sum(
+        len(_zlib.compress(data[i].tobytes(), 3)) for i in range(batch)
+    )
+
     result = {
         "metric": "mgzip_encode_device_throughput_per_chip",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / TARGET_GBPS, 4),
         "extra": {
-            "corpus_mb": len(corpus) // (1024 * 1024),
             "batch_blocks": batch,
             "block_size": block_size,
-            "compression_ratio": round(ratio, 3),
-            "compile_s": round(compile_and_first, 1),
-            "note": "device-resident sweep (lax.scan over batches); dev-env "
-            "tunnel moves ~20MB/s so host e2e is environment-bound",
+            "level": level,
+            "per_batch_ms": round(best * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+            "compression_ratio": round(batch_bytes / total_out, 3),
+            "size_vs_zlib3": round(total_out / zlib_size, 3),
+            "timing": "chained fori_loop, scalar-fetch forced; device compute only",
         },
     }
     print(json.dumps(result))

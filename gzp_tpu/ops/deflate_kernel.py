@@ -125,76 +125,103 @@ class DeflateEncodeConfig:
         return 4 * self.out_words
 
 
-def emit_tokens(
-    data_ext: jax.Array,
-    tok_pos: jax.Array,
-    tok_len: jax.Array,
-    tok_dist: jax.Array,
-    ntok: jax.Array,
-    lit_codes: jax.Array,
-    lit_lens: jax.Array,
-    dist_codes: jax.Array,
-    dist_lens: jax.Array,
+def _ilog2(v: jax.Array) -> jax.Array:
+    """floor(log2(v)) for v >= 1 (31 - clz)."""
+    return 31 - jax.lax.clz(jnp.maximum(v, 1).astype(_I32))
+
+
+def length_symbols(l: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """DEFLATE length code (sym, extra_bits, extra_value) for lengths in
+    [3, 258], computed arithmetically (RFC 1951 §3.2.5's table is
+    exponent-structured: eb = max(ilog2(l-3)-2, 0), sym = 257 + 4*eb +
+    ((l-3)>>eb), except 258 -> 285/0) — no per-position table gathers."""
+    v = jnp.maximum(l - 3, 0)
+    eb = jnp.where(v < 8, 0, _ilog2(v) - 2)
+    sym = 257 + (eb << 2) + (v >> eb)
+    extra = v & ((1 << eb) - 1)
+    is258 = l == 258
+    sym = jnp.where(is258, 285, sym)
+    eb = jnp.where(is258, 0, eb)
+    extra = jnp.where(is258, 0, extra)
+    return sym, eb, extra
+
+
+def dist_symbols(d: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """DEFLATE distance code (sym, extra_bits, extra_value) for distances
+    in [1, 32768]: eb = max(ilog2(d-1)-1, 0), sym = 2*eb + ((d-1)>>eb)."""
+    u = jnp.maximum(d - 1, 0)
+    eb = jnp.where(u < 4, 0, _ilog2(u) - 1)
+    sym = (eb << 1) + (u >> eb)
+    extra = u & ((1 << eb) - 1)
+    return sym, eb, extra
+
+
+def _onehot_lookup2(
+    sym: jax.Array, codes: jax.Array, lens: jax.Array, width: int
 ) -> tuple[jax.Array, jax.Array]:
-    """Map tokens to (bits, nbits) pairs using per-block code tables.
+    """(codes[b, sym], lens[b, sym]) for per-position ``sym`` via a batched
+    one-hot matmul — 0.6 ns/element vs ~10 ns for an XLA gather
+    (scripts/probe_prims.log). Values < 2^15 are exact in f32."""
+    o = jax.nn.one_hot(sym, width, dtype=jnp.float32)
+    tbl = jnp.stack([codes.astype(jnp.float32), lens.astype(jnp.float32)], axis=-1)
+    r = jnp.einsum("bnk,bko->bno", o, tbl)
+    return r[..., 0].astype(_U32), r[..., 1].astype(_I32)
 
-    Each token produces TWO entries (interleaved even/odd) so every entry
-    stays under 32 bits even with 15-bit dynamic codes:
-      even: literal code, or length code + length extra (<= 20 bits)
-      odd:  distance code + distance extra (<= 28 bits), 0-width for
-            literals.
-    Appends the end-of-block symbol after the last token.
+
+def compute_symbols(data_ext, marked, l, dist):
+    """Per-position DEFLATE symbols (arithmetic, no table gathers).
+
+    Returns (sym, leb, lextra, dsym, deb, dextra, is_match): ``sym`` is
+    the literal byte at literal token positions and the length symbol at
+    match starts (exactly the lit/len alphabet the histogram needs).
     """
-    b, nt = tok_pos.shape
-    rows = jnp.arange(b, dtype=_I32)[:, None]
+    is_match = jnp.logical_and(marked, l > 0)
+    lit_byte = data_ext.astype(_I32)
+    lsym, leb, lextra = length_symbols(l)
+    sym = jnp.where(is_match, lsym, lit_byte)
+    leb = jnp.where(is_match, leb, 0)
+    lextra = jnp.where(is_match, lextra, 0)
+    dsym, deb, dextra = dist_symbols(dist)
+    return sym, leb, lextra, dsym, deb, dextra, is_match
 
-    len_sym, len_eb, len_base = map(jnp.asarray, tables.length_tables())
-    dist_sym, dist_eb, dist_base = map(jnp.asarray, tables.dist_tables())
 
-    lit_byte = jnp.take_along_axis(
-        data_ext, jnp.clip(tok_pos, 0, data_ext.shape[1] - 1), axis=1
-    ).astype(_I32)
-    is_match = tok_len > 0
+def emit_entries(
+    marked, is_match, sym, leb, lextra, dsym, deb, dextra,
+    lit_codes, lit_lens, dist_codes, dist_lens,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-position bit entries (one <=31-bit entry per position + EOB).
 
-    lit_bits = jnp.take_along_axis(lit_codes, lit_byte, axis=1)
-    lit_n = jnp.take_along_axis(lit_lens, lit_byte, axis=1)
+    Position ``i`` emits its token's literal-or-length half; a match's
+    distance half is stashed at position ``i+1`` (always covered, since
+    matches are >= 3 long) so the whole stream is ONE entry per position —
+    halving the dominant scatter-add. Returns (bits, nbits) of shape
+    ``[B, M+1]`` (last column = end-of-block symbol).
+    """
+    b, m = marked.shape
 
-    l = jnp.clip(tok_len, 0, MAX_MATCH)
-    lsym = jnp.take(len_sym, l)
-    leb = jnp.take(len_eb, l)
-    lext = (l - jnp.take(len_base, l)).astype(_U32)
-    lcode = jnp.take_along_axis(lit_codes, lsym, axis=1)
-    lnb = jnp.take_along_axis(lit_lens, lsym, axis=1)
+    code, nb = _onehot_lookup2(sym, lit_codes, lit_lens, huffman.NLIT)
+    even_bits = code | (lextra.astype(_U32) << nb.astype(_U32))
+    even_n = jnp.where(marked, nb + leb, 0)
 
-    d = jnp.clip(tok_dist, 0, MAX_DIST)
-    dsym = jnp.take(dist_sym, d)
-    deb = jnp.take(dist_eb, d)
-    dext = (d - jnp.take(dist_base, d)).astype(_U32)
-    dcode = jnp.take_along_axis(dist_codes, dsym, axis=1)
-    dnb = jnp.take_along_axis(dist_lens, dsym, axis=1)
-
-    even_bits = jnp.where(
-        is_match, lcode | (lext << lnb.astype(_U32)), lit_bits
-    )
-    even_n = jnp.where(is_match, lnb + leb, lit_n)
-    odd_bits = jnp.where(is_match, dcode | (dext << dnb.astype(_U32)), 0)
+    dcode, dnb = _onehot_lookup2(dsym, dist_codes, dist_lens, huffman.NDIST)
+    odd_bits = dcode | (dextra.astype(_U32) << dnb.astype(_U32))
     odd_n = jnp.where(is_match, dnb + deb, 0)
 
-    slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
-    active = slot < ntok[:, None]
-    even_bits = jnp.where(active, even_bits, 0)
-    even_n = jnp.where(active, even_n, 0)
-    odd_bits = jnp.where(active, odd_bits, 0)
-    odd_n = jnp.where(active, odd_n, 0)
+    # stash the distance half at i+1 (covered by the match)
+    prev_match = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.bool_), is_match[:, :-1]], axis=1
+    )
+    odd_bits_s = jnp.concatenate([jnp.zeros((b, 1), _U32), odd_bits[:, :-1]], axis=1)
+    odd_n_s = jnp.concatenate([jnp.zeros((b, 1), _I32), odd_n[:, :-1]], axis=1)
 
-    bits = jnp.stack([even_bits, odd_bits], axis=2).reshape(b, 2 * nt)
-    nbits = jnp.stack([even_n, odd_n], axis=2).reshape(b, 2 * nt)
+    bits = jnp.where(marked, even_bits, jnp.where(prev_match, odd_bits_s, 0))
+    nbits = jnp.where(marked, even_n, jnp.where(prev_match, odd_n_s, 0))
 
-    # end-of-block symbol (256) from the per-block table
-    eob_code = lit_codes[:, 256]
-    eob_n = lit_lens[:, 256]
-    bits = bits.at[rows, (2 * ntok)[:, None]].set(eob_code[:, None])
-    nbits = nbits.at[rows, (2 * ntok)[:, None]].set(eob_n[:, None])
+    # end-of-block symbol as the final column
+    eob_bits = lit_codes[:, 256:257].astype(_U32)
+    eob_n = lit_lens[:, 256:257]
+    bits = jnp.concatenate([bits, eob_bits], axis=1)
+    nbits = jnp.concatenate([nbits, eob_n], axis=1)
     return bits, nbits
 
 
@@ -257,17 +284,20 @@ def encode_deflate_blocks(
         halo_start=halo_start,
         lazy=cfg.lazy,
     )
-    tok_pos, tok_len, tok_dist, ntok = lz.parse_tokens(
-        match_len, match_dist, lengths, window=cfg.window, min_emit=min_emit,
-        base=base,
+    marked, l = lz.parse_marks(
+        match_len, lengths, window=cfg.window, min_emit=min_emit, base=base,
     )
+    sym, leb, lextra, dsym, deb, dextra, is_match = compute_symbols(
+        ext, marked, l, match_dist
+    )
+    ntok = jnp.sum(marked.astype(_I32), axis=1)
 
     member = cfg.mode != "stream"
     final = jnp.ones((b,), jnp.bool_) if member else is_final
 
     if cfg.dynamic:
-        lit_freq, dist_freq = huffman.token_histograms(
-            ext, tok_pos, tok_len, ntok, tok_dist
+        lit_freq, dist_freq = huffman.position_histograms(
+            sym, dsym, marked, is_match
         )
         (
             lit_codes,
@@ -288,8 +318,8 @@ def encode_deflate_blocks(
         hfield_bits = (jnp.uint32(2) | final.astype(_U32))[:, None]
         hfield_n = jnp.full((b, 1), 3, _I32)
 
-    bits, nbits = emit_tokens(
-        ext, tok_pos, tok_len, tok_dist, ntok,
+    bits, nbits = emit_entries(
+        marked, is_match, sym, leb, lextra, dsym, deb, dextra,
         lit_codes, lit_lens, dist_codes, dist_lens,
     )
 

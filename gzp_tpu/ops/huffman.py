@@ -49,36 +49,26 @@ CL_ORDER = np.array(
 )
 
 
-def token_histograms(
-    data_ext: jax.Array,
-    tok_pos: jax.Array,
-    tok_len: jax.Array,
-    ntok: jax.Array,
-    tok_dist: jax.Array,
+def position_histograms(
+    sym: jax.Array,
+    dsym: jax.Array,
+    is_tok: jax.Array,
+    is_match: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Per-block symbol frequencies: (lit_freq [B,286], dist_freq [B,30]).
-    Includes the end-of-block symbol (freq 1)."""
-    b, nt = tok_pos.shape
-    rows = jnp.arange(b, dtype=_I32)[:, None]
-    slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
-    active = slot < ntok[:, None]
-    is_match = jnp.logical_and(active, tok_len > 0)
-
-    len_sym, _, _ = tables.length_tables()
-    dist_sym, _, _ = tables.dist_tables()
-    lit_byte = jnp.take_along_axis(
-        data_ext, jnp.clip(tok_pos, 0, data_ext.shape[1] - 1), axis=1
+    """Per-block symbol frequencies from per-position symbol arrays:
+    (lit_freq [B,286], dist_freq [B,30]), including the end-of-block
+    symbol (freq 1). One-hot sums run ~15x faster than scatter-adds on
+    XLA:TPU (scripts/probe_prims.log)."""
+    o = jax.nn.one_hot(sym, NLIT, dtype=jnp.float32)
+    lit_freq = jnp.sum(
+        o * is_tok[:, :, None].astype(jnp.float32), axis=1
     ).astype(_I32)
-    lsym = jnp.take(jnp.asarray(len_sym), jnp.clip(tok_len, 0, 258))
-    sym = jnp.where(is_match, lsym, lit_byte)
-    sym = jnp.where(active, sym, NLIT)  # drop slot
+    lit_freq = lit_freq.at[:, 256].add(1)  # EOB
 
-    lit_freq = jnp.zeros((b, NLIT + 1), _I32).at[rows, sym].add(1)
-    lit_freq = lit_freq[:, :NLIT].at[:, 256].add(1)  # EOB
-
-    dsym = jnp.take(jnp.asarray(dist_sym), jnp.clip(tok_dist, 0, 32768))
-    dsym = jnp.where(is_match, dsym, NDIST)
-    dist_freq = jnp.zeros((b, NDIST + 1), _I32).at[rows, dsym].add(1)[:, :NDIST]
+    od = jax.nn.one_hot(dsym, NDIST, dtype=jnp.float32)
+    dist_freq = jnp.sum(
+        od * is_match[:, :, None].astype(jnp.float32), axis=1
+    ).astype(_I32)
     return lit_freq, dist_freq
 
 

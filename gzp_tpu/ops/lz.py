@@ -3,31 +3,31 @@
 TPU-native replacement for the hash-chain match finders inside zlib-ng /
 libdeflate (the reference's L0 codec backends, reference Cargo.toml:28-52).
 Everything operates on a batch of independent blocks ``[B, N]`` with static
-shapes; there is no per-byte sequential loop anywhere:
+shapes and — critically on XLA:TPU, where arbitrary-index gathers and
+scatters execute at ~10 ns/element (scripts/probe_prims.log) — with no
+per-element indexed memory ops beyond two sorts:
 
-* **Candidate discovery** is sort-based: a 32-bit key packs
-  ``(hash(4 bytes) << 17) | position``; after an in-block sort, the nearest
-  (and second-nearest) previous occurrence of each hash is the left
-  neighbor in sorted order. This replaces data-dependent hash-chain walks
-  with one parallel sort + gathers.
+* **Candidate discovery**: one multi-operand sort of
+  ``(hash(4 bytes) << pos_bits) | position`` keys that *carries 12 bytes
+  of suffix context as sort payload*; the nearest (and second-nearest)
+  previous occurrence of each hash is the left neighbor in sorted order
+  and match verification is a shift-compare of the carried context.
+* **Order restoration**: a second 2-operand sort keyed by position
+  (inverting a permutation by sorting is ~5x cheaper than a scatter).
 * **Run detection** (distance-1 matches, the RLE workhorse) uses a
-  segmented associative scan over byte-equality, capturing up to
-  258-byte runs that the capped gather-LCP would truncate.
-* **Match verification/extension** compares 4-byte words via gathers with
-  a first-mismatch byte refinement (lengths up to ``4*lcp_words`` bytes).
-* **Greedy parse** is windowed: each ``window``-byte span of a block is
-  parsed greedily and independently (matches are clamped at window ends;
-  match *sources* may still reach anywhere back in the block), which turns
-  the inherently sequential greedy walk into a pointer-doubling mark
-  propagation: log2(window) rounds of gather+scatter.
+  segmented associative scan over byte-equality, exact to 258.
+* **Match extension** beyond the carried context chains context-capped
+  matches that agree on distance at static shift offsets (pointer
+  doubling on shifts, log rounds of contiguous ops).
+* **Greedy parse** (`parse_marks`) turns the sequential greedy walk into
+  a per-window boolean reachability closure computed by batched int8
+  matrix squarings on the MXU.
 
-The result is a compacted per-block token list (literal / match-with-
-length-and-distance) in stream order, ready for format-specific emission.
+The result is a per-position token-start mask plus (length, distance)
+arrays, ready for per-position format emission.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -44,10 +44,6 @@ def _pos_bits(n: int) -> int:
     ``hash << pos_bits | pos`` into 32 bits; bigger blocks get fewer hash
     bits)."""
     return max((n - 1).bit_length(), 1)
-
-
-def _rows(b: int) -> jax.Array:
-    return jnp.arange(b, dtype=_I32)[:, None]
 
 
 def words4(data_u8: jax.Array) -> jax.Array:
@@ -71,66 +67,27 @@ def hash_positions(w4: jax.Array, hash_bits: int) -> jax.Array:
     return (w4 * HASH_MUL) >> np.uint32(32 - hash_bits)
 
 
-def prev_occurrences(w4: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Nearest and second-nearest previous positions with the same hash.
-
-    Returns (cand1, cand2), each ``[B, N]`` int32, -1 where absent.
-    """
-    b, n = w4.shape
-    pos_bits = _pos_bits(n)
-    h = hash_positions(w4, 32 - pos_bits)
-    pos = jnp.arange(n, dtype=_U32)[None, :]
-    key = (h << np.uint32(pos_bits)) | pos
-    skey = jnp.sort(key, axis=1)
-    sh = (skey >> np.uint32(pos_bits)).astype(_I32)
-    sp = (skey & np.uint32((1 << pos_bits) - 1)).astype(_I32)
-
-    minus1 = jnp.full((b, 1), -1, dtype=_I32)
-    prev_pos1 = jnp.concatenate([minus1, sp[:, :-1]], axis=1)
-    prev_h1 = jnp.concatenate([jnp.full((b, 1), -1, _I32), sh[:, :-1]], axis=1)
-    prev_pos2 = jnp.concatenate([minus1, minus1, sp[:, :-2]], axis=1)
-    prev_h2 = jnp.concatenate(
-        [jnp.full((b, 2), -1, _I32), sh[:, :-2]], axis=1
-    )
-    c1_sorted = jnp.where(prev_h1 == sh, prev_pos1, -1)
-    c2_sorted = jnp.where(prev_h2 == sh, prev_pos2, -1)
-
-    rows = _rows(b)
-    cand1 = jnp.full((b, n), -1, _I32).at[rows, sp].set(c1_sorted)
-    cand2 = jnp.full((b, n), -1, _I32).at[rows, sp].set(c2_sorted)
-    return cand1, cand2
+def _shift_right(a: jax.Array, lag: int, fill) -> jax.Array:
+    """``out[i] = a[i-lag]`` along axis 1 (``fill`` for i < lag)."""
+    b = a.shape[0]
+    pad = jnp.full((b, lag), fill, dtype=a.dtype)
+    return jnp.concatenate([pad, a[:, :-lag]], axis=1)
 
 
-def lcp_via_words(
-    w4: jax.Array, i_idx: jax.Array, j_pos: jax.Array, valid: jax.Array, max_words: int
-) -> jax.Array:
-    """Byte LCP of the suffixes at ``i_idx`` and ``j_pos`` (capped at
-    ``4*max_words``), compared word-at-a-time with a trailing-byte refinement
-    on the first mismatching word. Out-of-range gathers clip; callers must
-    clamp the result by the real block length."""
-    n = w4.shape[1]
-    lcp0 = jnp.zeros(j_pos.shape, dtype=_I32)
+def _shift_left(a: jax.Array, lag: int, fill) -> jax.Array:
+    """``out[i] = a[i+lag]`` along axis 1 (``fill`` past the end)."""
+    b = a.shape[0]
+    pad = jnp.full((b, lag), fill, dtype=a.dtype)
+    return jnp.concatenate([a[:, lag:], pad], axis=1)
 
-    def body(k, carry):
-        lcp, alive = carry
-        off = 4 * k
-        wi = jnp.take_along_axis(w4, jnp.clip(i_idx + off, 0, n - 1), axis=1, mode="clip")
-        wj = jnp.take_along_axis(w4, jnp.clip(j_pos + off, 0, n - 1), axis=1, mode="clip")
-        x = wi ^ wj
-        eq = x == 0
-        tz = jnp.where(
-            (x & 0xFF) != 0,
-            0,
-            jnp.where((x & 0xFFFF) != 0, 1, jnp.where((x & 0xFFFFFF) != 0, 2, 3)),
-        ).astype(_I32)
-        lcp = lcp + jnp.where(alive, jnp.where(eq, 4, tz), 0)
-        alive = jnp.logical_and(alive, eq)
-        return lcp, alive
 
-    # rolled loop: keeps the compiled graph small (the unrolled form was a
-    # dominant share of a 343 s whole-encoder compile in round 1)
-    lcp, _ = jax.lax.fori_loop(0, max_words, body, (lcp0, valid))
-    return lcp
+def _tz_bytes(x: jax.Array) -> jax.Array:
+    """Number of trailing zero *bytes* (0..3) of a nonzero uint32 word."""
+    return jnp.where(
+        (x & 0xFF) != 0,
+        0,
+        jnp.where((x & 0xFFFF) != 0, 1, jnp.where((x & 0xFFFFFF) != 0, 2, 3)),
+    ).astype(_I32)
 
 
 def run_lengths(data_u8: jax.Array) -> jax.Array:
@@ -154,6 +111,9 @@ def run_lengths(data_u8: jax.Array) -> jax.Array:
 
     cnt_scan, _ = jax.lax.associative_scan(op, (cnt, reset), axis=1)
     return cnt_scan[:, ::-1]
+
+
+_PAYLOAD_BYTES = 12  # context carried through the sort (3 uint32 words)
 
 
 def best_matches(
@@ -181,11 +141,28 @@ def best_matches(
     clamped to the payload end and ``max_match``; distances respect
     ``max_dist`` (32768 for DEFLATE, 65535 for snappy).
 
+    Design (v2, from the measured TPU primitive costs in
+    scripts/probe_prims.log — arbitrary gathers cost ~10 ns/element while
+    sorts cost ~1-1.6 and contiguous VPU ops ~0.2):
+
+    * candidates come from ONE multi-operand sort of ``(hash<<bits)|pos``
+      keys *carrying 12 bytes of suffix context as payload*, so candidate
+      verification is a shift-compare against the sorted neighbor — no
+      post-sort gathers (round 1 spent 32 gathers = 700 ms here);
+    * results return to position order through a second 2-operand sort
+      (inverting a permutation by sorting beats an 11 ns/elem scatter);
+    * distance-1 runs come exact from a segmented scan;
+    * matches longer than the carried context extend by pointer-doubling
+      on *static* shifts: if the match at ``i`` is context-capped and
+      ``i+cap`` found the same distance, lengths chain — log rounds of
+      contiguous ops reach DEFLATE's 258.
+
     ``lazy=True`` applies zlib's lazy-match heuristic: a match is demoted
-    to a literal when the next position holds a strictly longer match —
-    local, so it parallelizes for free.
+    to a literal when the next position holds a strictly longer match.
     """
+    del max_words  # v2 carries fixed sort payload; knob kept for API compat
     b, n_ext = data_u8.shape
+    pos_bits = _pos_bits(n_ext)
     w4 = words4(data_u8)
     i_idx = jnp.broadcast_to(jnp.arange(n_ext, dtype=_I32)[None, :], (b, n_ext))
     end = base + lengths[:, None]
@@ -195,29 +172,92 @@ def best_matches(
     else:
         lo = halo_start[:, None].astype(_I32)
 
-    cand1, cand2 = prev_occurrences(w4)
+    # -- one sort: keys group equal hashes, payload carries 12B of suffix
+    h = hash_positions(w4, 32 - pos_bits)
+    pos_u = jnp.arange(n_ext, dtype=_U32)[None, :]
+    key = (h << np.uint32(pos_bits)) | pos_u
+    wa = w4
+    wb = _shift_left(w4, 4, jnp.uint32(0))
+    wc = _shift_left(w4, 8, jnp.uint32(0))
+    sk, sa, sb, sc = jax.lax.sort(
+        (jnp.broadcast_to(key, (b, n_ext)), wa, wb, wc), dimension=1, num_keys=1
+    )
+    sp = (sk & np.uint32((1 << pos_bits) - 1)).astype(_I32)
+    sh = sk >> np.uint32(pos_bits)
 
-    def score_candidate(cand):
-        valid = jnp.logical_and(cand >= lo, (i_idx - cand) <= max_dist)
-        lcp = lcp_via_words(w4, i_idx, cand, valid, max_words)
+    def neighbor(lag: int):
+        cpos = _shift_right(sp, lag, -1)
+        csame = _shift_right(sh, lag, np.uint32(0xFFFFFFFF)) == sh
+        dist = sp - cpos
+        valid = jnp.logical_and(
+            jnp.logical_and(csame, cpos >= lo),
+            jnp.logical_and(dist >= 1, dist <= max_dist),
+        )
+        x0 = sa ^ _shift_right(sa, lag, jnp.uint32(0))
+        x1 = sb ^ _shift_right(sb, lag, jnp.uint32(0))
+        x2 = sc ^ _shift_right(sc, lag, jnp.uint32(0))
+        lcp = jnp.where(
+            x0 == 0,
+            jnp.where(
+                x1 == 0,
+                jnp.where(x2 == 0, 12, 8 + _tz_bytes(x2)),
+                4 + _tz_bytes(x1),
+            ),
+            _tz_bytes(x0),
+        )
+        capped = jnp.logical_and(valid, lcp >= _PAYLOAD_BYTES)
         lcp = jnp.where(valid, lcp, 0)
-        dist = i_idx - cand
-        return lcp, dist
+        return lcp, dist, capped
 
-    l1, d1 = score_candidate(cand1)
-    l2, d2 = score_candidate(cand2)
-    # distance-1 run candidate (full 258-length runs via scan)
+    def better(la, da, ca, lb, db, cb):
+        a_wins = jnp.logical_or(la > lb, jnp.logical_and(la == lb, da < db))
+        return (
+            jnp.where(a_wins, la, lb),
+            jnp.where(a_wins, da, db),
+            jnp.where(a_wins, ca, cb),
+        )
+
+    l1, d1, c1 = neighbor(1)
+    l2, d2, c2 = neighbor(2)
+    ls, ds, cs = better(l1, d1, c1, l2, d2, c2)
+
+    # -- back to position order: pack (capped, len, dist) and sort by pos
+    # (invalid candidates carry garbage — possibly negative — distances
+    # across bucket boundaries; zero them so sign bits can't pollute the
+    # packed fields)
+    ds = jnp.where(ls > 0, ds, 0)
+    packed = (
+        ds.astype(_U32)
+        | (ls.astype(_U32) << 17)
+        | (cs.astype(_U32) << 22)
+    )
+    _, packed_pos = jax.lax.sort(
+        (sp.astype(_U32), packed), dimension=1, num_keys=1
+    )
+    ln = ((packed_pos >> 17) & 0x1F).astype(_I32)
+    dist = (packed_pos & 0x1FFFF).astype(_I32)
+    capped = (packed_pos >> 22) == 1
+
+    # -- distance-1 runs, exact to any length (the RLE workhorse)
     l3 = run_lengths(data_u8)
     l3 = jnp.where((i_idx - 1) >= lo, l3, 0)
-    d3 = jnp.ones_like(i_idx)
+    run_wins = jnp.logical_or(
+        l3 > ln, jnp.logical_and(l3 == ln, 1 < dist)
+    )
+    dist = jnp.where(run_wins, 1, dist)
+    capped = jnp.where(run_wins, False, capped)
+    ln = jnp.where(run_wins, l3, ln)
 
-    # pick by longest length, tie-break on smaller distance
-    def better(la, da, lb, db):
-        a_wins = jnp.logical_or(la > lb, jnp.logical_and(la == lb, da < db))
-        return jnp.where(a_wins, la, lb), jnp.where(a_wins, da, db)
-
-    ln, dist = better(l1, d1, l2, d2)
-    ln, dist = better(ln, dist, l3, d3)
+    # -- extension doubling for context-capped matches
+    cap = _PAYLOAD_BYTES
+    while cap < max_match:
+        ln_next = _shift_left(ln, cap, 0)
+        dist_next = _shift_left(dist, cap, 0)
+        cap_next = _shift_left(capped, cap, False)
+        chain = jnp.logical_and(capped, dist_next == dist)
+        ln = jnp.where(chain, cap + jnp.where(ln_next > 0, ln_next, 0), ln)
+        capped = jnp.logical_and(chain, cap_next)
+        cap *= 2
 
     ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
     ln = jnp.where(ln >= min_emit, ln, 0)
@@ -231,66 +271,73 @@ def best_matches(
     return ln, dist
 
 
-def parse_tokens(
+def parse_marks(
     match_len: jax.Array,
-    match_dist: jax.Array,
     lengths: jax.Array,
     *,
     window: int,
     min_emit: int,
     base: int = 0,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Windowed greedy parse via pointer-doubling mark propagation.
+) -> tuple[jax.Array, jax.Array]:
+    """Windowed greedy parse as a boolean-matmul reachability closure.
 
-    Every ``window``-aligned position seeds a parse; matches are clamped at
-    window boundaries so walks stay inside their window and token starts
-    self-synchronize at window edges. After log2(window) doubling rounds the
-    marked set is exactly the token-start set of the greedy parse.
+    The greedy walk ``next(i) = i + max(1, len(i))`` restarts at every
+    ``window`` boundary (matches are clamped there, exactly like the
+    round-1 pointer-doubling parse), so each window parses independently:
+    build the one-step transition matrix of every window (one-hot of the
+    local jump target, with an absorbing exit state) and square ``I + T``
+    log2(window) times on the MXU. Token starts = states reachable from
+    local position 0. This replaces per-element gather/scatter pointer
+    doubling (~34 ms per round on XLA:TPU, scripts/probe_prims.log) with
+    batched int8 matmuls measured at ~2 ms total.
 
-    Returns ``(tok_pos, tok_len, tok_dist, ntok)``: token arrays ``[B, N+1]``
-    compacted in stream order (``tok_len == 0`` -> literal at ``tok_pos``),
-    and per-block token counts ``[B]``.
+    Returns ``(marked [B, M] bool, l [B, M] int32)`` — token-start mask
+    and the window-clamped match length the parse actually used (callers
+    must emit exactly these lengths).
     """
-    b, n = match_len.shape
+    b, m_in = match_len.shape
     assert window & (window - 1) == 0, "window must be a power of two"
     assert base % window == 0, "halo must be window-aligned"
-    rounds = window.bit_length() - 1
-    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=_I32)[None, :], (b, n))
-    w_end = (i_idx // window + 1) * window
+    # pad to a whole number of windows (arbitrary user buffer sizes);
+    # padded positions carry no matches and are masked out at the end
+    m = -(-m_in // window) * window
+    if m != m_in:
+        match_len = jnp.concatenate(
+            [match_len, jnp.zeros((b, m - m_in), _I32)], axis=1
+        )
+    nw = m // window
+    s = window + 1  # + absorbing exit state
 
+    i_idx = jnp.broadcast_to(jnp.arange(m, dtype=_I32)[None, :], (b, m))
+    w_end = (i_idx // window + 1) * window
     end = base + lengths[:, None]
     l = jnp.minimum(match_len, w_end - i_idx)
     l = jnp.where(l >= min_emit, l, 0)
     step = jnp.where(l > 0, l, 1)
-    nxt = i_idx + step  # <= w_end <= n
+    nxt_local = (i_idx % window) + step  # in [1, window]
 
-    rows = _rows(b)
-    sink = jnp.full((b, 1), n, dtype=_I32)
-    j_arr = jnp.concatenate([nxt, sink], axis=1)  # [B, N+1], J[n] = n
-
-    seeds = jnp.logical_and(
-        jnp.logical_and(i_idx % window == 0, i_idx >= base), i_idx < end
+    t = jax.nn.one_hot(
+        nxt_local.reshape(b * nw, window), s, dtype=jnp.int8
+    )  # [NW, window, S]
+    absorb = jax.nn.one_hot(
+        jnp.full((b * nw, 1), window, _I32), s, dtype=jnp.int8
     )
-    marked = jnp.concatenate(
-        [seeds.astype(_I32), jnp.zeros((b, 1), dtype=_I32)], axis=1
-    )
-    def body(_, carry):
-        marked, j_arr = carry
-        marked = marked.at[rows, j_arr].max(marked)
-        j_arr = jnp.take_along_axis(j_arr, j_arr, axis=1)
-        return marked, j_arr
+    t = jnp.concatenate([t, absorb], axis=1)  # [NW, S, S]
+    reach = jnp.minimum(t + jnp.eye(s, dtype=jnp.int8)[None, :, :], 1)
 
-    marked, j_arr = jax.lax.fori_loop(0, rounds, body, (marked, j_arr))
+    def squaring(_, r):
+        rr = jax.lax.dot_general(
+            r, r,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        return jnp.minimum(rr, 1).astype(jnp.int8)
 
-    valid = jnp.logical_and(
-        marked[:, :n] == 1, jnp.logical_and(i_idx >= base, i_idx < end)
-    )
+    reach = jax.lax.fori_loop(0, window.bit_length() - 1, squaring, reach)
+    marked = reach[:, 0, :window].reshape(b, m) == 1
 
-    tidx = jnp.cumsum(valid.astype(_I32), axis=1) - 1
-    ntok = jnp.sum(valid.astype(_I32), axis=1)
-    scat = jnp.where(valid, tidx, n)  # n = drop slot in [B, N+1] outputs
+    valid = jnp.logical_and(i_idx >= base, i_idx < end)
+    marked = jnp.logical_and(marked, valid)
+    return marked[:, :m_in], l[:, :m_in]
 
-    tok_pos = jnp.zeros((b, n + 1), _I32).at[rows, scat].set(i_idx)
-    tok_len = jnp.zeros((b, n + 1), _I32).at[rows, scat].set(l)
-    tok_dist = jnp.zeros((b, n + 1), _I32).at[rows, scat].set(match_dist)
-    return tok_pos, tok_len, tok_dist, ntok
+

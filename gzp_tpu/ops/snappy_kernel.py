@@ -30,6 +30,7 @@ import numpy as np
 from gzp_tpu.constants import SNAPPY_MAX_CHUNK, SNAPPY_MIN_MATCH, SNAPPY_STREAM_IDENTIFIER
 from gzp_tpu.ops import lz
 from gzp_tpu.ops.checksum import crc32c_masked_device
+from gzp_tpu.ops.deflate_kernel import _scatter_bits
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -57,12 +58,17 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     """Compress a batch of blocks into framed snappy. Returns the same
     output contract as the deflate encoder: ``out`` [B, out_bytes] uint8,
     ``out_len`` [B] int32, ``check`` [B] uint32 (masked CRC32C of the
-    uncompressed chunk — also embedded in the frame)."""
+    uncompressed chunk — also embedded in the frame).
+
+    v2 emission: one <=24-bit entry per *position* (literal byte /
+    tag+byte / match tag+offset, all byte-aligned bit widths), packed by
+    the same prefix-sum + word scatter as the DEFLATE emitter — the
+    per-token compaction pass and its gathers are gone.
+    """
     del is_final  # snappy frames need no stream-close marker
     b, n = data_u8.shape
     assert n == cfg.block_len and n <= SNAPPY_MAX_CHUNK
     rows = jnp.arange(b, dtype=_I32)[:, None]
-    nt = n + 1
 
     match_len, match_dist = lz.best_matches(
         data_u8,
@@ -72,63 +78,57 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
         min_emit=SNAPPY_MIN_MATCH,
         max_words=cfg.max_words,
     )
-    tok_pos, tok_len, tok_dist, ntok = lz.parse_tokens(
-        match_len, match_dist, lengths, window=cfg.window, min_emit=SNAPPY_MIN_MATCH
+    marked, l = lz.parse_marks(
+        match_len, lengths, window=cfg.window, min_emit=SNAPPY_MIN_MATCH
     )
+    is_match = jnp.logical_and(marked, l > 0)
+    is_lit = jnp.logical_and(marked, l == 0)
+    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=_I32)[None, :], (b, n))
 
-    slot = jnp.broadcast_to(jnp.arange(nt, dtype=_I32)[None, :], (b, nt))
-    active = slot < ntok[:, None]
-    is_match = jnp.logical_and(active, tok_len > 0)
-    is_lit = jnp.logical_and(active, tok_len == 0)
-
-    # ----- literal-run grouping over token slots -----
+    # ----- literal-run grouping over positions -----
     prev_lit = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.bool_), is_lit[:, :-1]], axis=1
     )
     run_start = jnp.logical_and(is_lit, jnp.logical_not(prev_lit))
-    start_idx = jax.lax.cummax(jnp.where(run_start, slot, -1), axis=1)
-    big = jnp.asarray(nt, _I32)
-    nonlit_idx = jnp.where(is_lit, big, slot)
+    start_idx = jax.lax.cummax(jnp.where(run_start, i_idx, -1), axis=1)
+    big = jnp.asarray(n, _I32)
+    nonlit_idx = jnp.where(is_lit, big, i_idx)
     run_end = jax.lax.cummin(nonlit_idx[:, ::-1], axis=1)[:, ::-1]
 
-    r = slot - start_idx  # position within the literal run
-    remain = run_end - slot  # literals remaining in the run (incl. self)
+    r = i_idx - start_idx  # position within the literal run
+    remain = run_end - i_idx  # literals remaining in the run (incl. self)
     has_tag = jnp.logical_and(is_lit, r % _MAX_LIT_ELEM == 0)
 
-    outsize = jnp.where(
-        is_lit, 1 + has_tag.astype(_I32), jnp.where(is_match, 3, 0)
+    # ----- per-position entries (bit widths are byte multiples) -----
+    lit_byte = data_u8.astype(_U32)
+    lit_tag = ((jnp.minimum(remain, _MAX_LIT_ELEM) - 1) << 2).astype(_U32)
+    m_tag = (2 | ((l - 1) << 2)).astype(_U32)
+    doff = match_dist.astype(_U32)
+
+    entry = jnp.where(
+        is_lit,
+        jnp.where(has_tag, lit_tag | (lit_byte << 8), lit_byte),
+        jnp.where(is_match, m_tag | ((doff & 0xFF) << 8) | ((doff >> 8) << 16), 0),
+    )
+    width = jnp.where(
+        is_lit, 8 * (1 + has_tag.astype(_I32)), jnp.where(is_match, 24, 0)
     )
 
     # varint preamble for the uncompressed length
     ln = lengths.astype(_I32)
     varint_len = jnp.where(ln < 128, 1, jnp.where(ln < 16384, 2, 3))
 
-    csum = jnp.cumsum(outsize, axis=1)
-    elem_total = csum[:, -1]
-    o = _HDR + varint_len[:, None] + (csum - outsize)
+    csum = jnp.cumsum(width, axis=1)
+    elem_total = csum[:, -1] >> 3  # bytes
+    off = 8 * (_HDR + varint_len[:, None]) + (csum - width)
 
-    # ----- byte values -----
-    lit_byte = jnp.take_along_axis(
-        data_u8, jnp.clip(tok_pos, 0, n - 1), axis=1
-    ).astype(_I32)
-    lit_tag = (jnp.minimum(remain, _MAX_LIT_ELEM) - 1) << 2
-    l = tok_len
-    m_tag = 2 | ((l - 1) << 2)
-    off_low = tok_dist & 0xFF
-    off_high = (tok_dist >> 8) & 0xFF
-
-    drop = cfg.out_bytes + 8  # out-of-bounds scatter index -> dropped
-    p0 = jnp.where(has_tag, o, jnp.where(is_match, o, drop))
-    v0 = jnp.where(has_tag, lit_tag, m_tag)
-    p1 = jnp.where(is_lit, o + has_tag.astype(_I32), jnp.where(is_match, o + 1, drop))
-    v1 = jnp.where(is_lit, lit_byte, off_low)
-    p2 = jnp.where(is_match, o + 2, drop)
-    v2 = off_high
-
-    out = jnp.zeros((b, cfg.out_bytes), dtype=_U8)
-    out = out.at[rows, p0].set(v0.astype(_U8), mode="drop")
-    out = out.at[rows, p1].set(v1.astype(_U8), mode="drop")
-    out = out.at[rows, p2].set(v2.astype(_U8), mode="drop")
+    out_words = cfg.out_bytes // 4
+    words = jnp.zeros((b, out_words), dtype=_U32)
+    words = _scatter_bits(words, rows, off, entry, 24)
+    out = jnp.stack(
+        [words & 0xFF, (words >> 8) & 0xFF, (words >> 16) & 0xFF, (words >> 24) & 0xFF],
+        axis=-1,
+    ).reshape(b, cfg.out_bytes).astype(_U8)
 
     # ----- frame headers -----
     sid = jnp.asarray(np.frombuffer(SNAPPY_STREAM_IDENTIFIER, np.uint8))
@@ -151,12 +151,14 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     b1 = jnp.where(varint_len > 2, ((lnu >> 7) & 0x7F) | 0x80, (lnu >> 7) & 0x7F)
     b2 = (lnu >> 14) & 0x7F
     out = out.at[:, 18].set(b0.astype(_U8))
+    drop = cfg.out_bytes + 8  # out-of-bounds scatter index -> dropped
     p_b1 = jnp.where(varint_len >= 2, 19, drop)[:, None]
     p_b2 = jnp.where(varint_len >= 3, 20, drop)[:, None]
     out = out.at[rows, p_b1].set(b1.astype(_U8)[:, None], mode="drop")
     out = out.at[rows, p_b2].set(b2.astype(_U8)[:, None], mode="drop")
 
     out_len = jnp.where(ln > 0, _HDR + varint_len + elem_total, 10)
+    ntok = jnp.sum(marked.astype(_I32), axis=1)
     return {"out": out, "out_len": out_len.astype(_I32), "check": crc, "ntok": ntok}
 
 
