@@ -8,14 +8,17 @@ writer/reader API, with per-block checksums combined pigz-COMB style.
 Blocks are compressed data-parallel as lanes of batched XLA programs and
 sharded across TPU meshes instead of OS threads.
 
-Example::
+Example (executable — enforced by tests/test_docs.py, the analog of the
+reference's doc-tests on its public entry points, reference src/lib.rs:25-72):
 
-    from gzp_tpu import ZBuilder, Gzip
-
-    with open("out.gz", "wb") as f:
-        w = ZBuilder(Gzip).num_threads(16).compression_level(3).from_writer(f)
-        w.write(b"hello world " * 1000)
-        w.finish()
+    >>> import io, gzip
+    >>> from gzp_tpu import ZBuilder, Gzip
+    >>> buf = io.BytesIO()
+    >>> w = ZBuilder(Gzip).num_threads(4).compression_level(3).from_writer(buf)
+    >>> _ = w.write(b"hello world " * 1000)
+    >>> _ = w.finish()
+    >>> gzip.decompress(buf.getvalue()) == b"hello world " * 1000
+    True
 """
 
 from gzp_tpu.check import Adler32, Check, Crc32, Crc32C, PassThroughCheck  # noqa: F401

@@ -22,6 +22,17 @@ class ZBuilder:
     reference src/lib.rs:246-263); for the parallel path it sets the
     number of blocks compressed per device dispatch (the lane count that
     replaces the reference's worker-thread count).
+
+    >>> import io, gzip
+    >>> from gzp_tpu import ZBuilder, Mgzip
+    >>> buf = io.BytesIO()
+    >>> w = ZBuilder(Mgzip).num_threads(2).from_writer(buf)
+    >>> _ = w.write(b"block framed " * 512)
+    >>> _ = w.finish()
+    >>> gzip.decompress(buf.getvalue()) == b"block framed " * 512
+    True
+    >>> ZBuilder(Mgzip).num_threads(1).from_writer(io.BytesIO()).__class__.__name__
+    'SyncZ'
     """
 
     def __init__(self, format_spec: FormatSpec):

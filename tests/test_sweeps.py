@@ -73,11 +73,48 @@ ORACLES = {
 def test_sweep_fast(fmt_name):
     fmt, decode = ORACLES[fmt_name]
     rng = np.random.default_rng(hash(fmt_name) % 2**31)
-    for trial in range(3):
+    for trial in range(5):
         payload = random_payload(rng, 120_000)
         nt = int(rng.integers(1, 5))
-        level = int(rng.choice([1, 3, 6]))
+        # levels 0 and 9 in the fast tier (reference proptests sweep the
+        # full 0..9 range, src/deflate.rs:1053-1102)
+        level = int(rng.choice([0, 1, 3, 6, 9]))
         roundtrip(fmt, decode, payload, rng, nt=nt, bs=BS, level=level)
+
+
+@pytest.mark.parametrize("fmt_name", ["mgzip", "bgzf"])
+def test_flush_midstream_block_formats(fmt_name):
+    """flush() mid-stream on block formats: the flushed prefix must be a
+    complete, independently decodable sequence of members (reference
+    BgzfSyncWriter::flush drains whole blocks, src/bgzf.rs:332-347)."""
+    fmt, decode = ORACLES[fmt_name]
+    rng = np.random.default_rng(11)
+    payload = random_payload(rng, 150_000)
+    buf = io.BytesIO()
+    w = ZBuilder(fmt).num_threads(2).buffer_size(BS).from_writer(buf)
+    w.write(payload[: len(payload) // 2])
+    w.flush()
+    mid = buf.getvalue()
+    assert decode(mid) == payload[: len(payload) // 2]
+    w.write(payload[len(payload) // 2 :])
+    w.finish()
+    assert decode(buf.getvalue()) == payload
+
+
+def test_snappy_fragmented_writes():
+    """Byte-at-a-time and odd-sized writes through the snappy frame
+    encoder (reference test_all_snap's write_size axis, src/snap.rs:160-239)."""
+    rng = np.random.default_rng(12)
+    payload = random_payload(rng, 90_000)
+    buf = io.BytesIO()
+    w = ZBuilder(Snap).num_threads(2).from_writer(buf)
+    off = 0
+    while off < len(payload):
+        step = int(rng.choice([1, 2, 7, 333, 65_536]))
+        w.write(payload[off : off + step])
+        off += step
+    w.finish()
+    assert decode_frames(buf.getvalue()) == payload
 
 
 def test_sweep_raw_deflate():
