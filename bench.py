@@ -90,38 +90,50 @@ def main() -> None:
     df = jax.device_put(finals)
     jax.block_until_ready(dd)
 
+    # ONE compiled program: the timing chain also carries the final
+    # iteration's framed outputs so validation needs no second compile
+    # (remote compiles on this backend are minutes; see ARCHITECTURE §5)
+    out_shape = jnp.zeros((batch, cfg.out_bytes), jnp.uint8)
+    len_shape = jnp.zeros((batch,), jnp.int32)
+
     @jax.jit
     def chain(d):
         def body(_, carry):
-            salt, x = carry
+            salt, x, _, _ = carry
             x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
             res = encode_deflate_blocks(cfg, x, dl, df)
             tot = jnp.sum(res["out_len"]).astype(jnp.uint32)
-            return tot ^ res["check"][0], x
+            return tot ^ res["check"][0], x, res["out"], res["out_len"]
 
-        salt, _ = jax.lax.fori_loop(0, reps, body, (jnp.uint32(0), d))
-        return salt
+        salt, _, out, out_len = jax.lax.fori_loop(
+            0, reps, body, (jnp.uint32(0), d, out_shape, len_shape)
+        )
+        return salt, out, out_len
 
     t0 = time.perf_counter()
-    int(chain(dd))
+    int(chain(dd)[0])
     compile_s = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        int(chain(dd))
+        salt, res_out, res_len = chain(dd)
+        int(salt)
         best = min(best, (time.perf_counter() - t0) / reps)
     gbps = batch_bytes / best / 1e9
 
-    # correctness + size: fetch one real batch and gzip-decode every member
-    run = jax.jit(lambda d: encode_deflate_blocks(cfg, d, dl, df))
-    res = run(dd)
-    out = np.asarray(res["out"])
-    out_len = np.asarray(res["out_len"])
+    # correctness + size: gzip-decode members from the last chain iteration
+    # (block 0's first byte carries the chain's data-dependent perturbation,
+    # so it is validated on all bytes but that one)
+    out = np.asarray(res_out)
+    out_len = np.asarray(res_len)
     total_out = int(out_len.sum())
     for i in range(0, batch, max(batch // 8, 1)):
         plain = _gzip.decompress(out[i, : out_len[i]].tobytes())
-        assert plain == data[i].tobytes(), f"bench validation failed at block {i}"
+        want = data[i].tobytes()
+        if i == 0:
+            plain, want = plain[1:], want[1:]
+        assert plain == want, f"bench validation failed at block {i}"
 
     zlib_size = sum(
         len(_zlib.compress(data[i].tobytes(), 3)) for i in range(batch)

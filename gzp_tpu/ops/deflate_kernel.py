@@ -80,9 +80,11 @@ class DeflateEncodeConfig:
     checksum: str  # 'crc32' | 'adler32' | 'none'  (per-block stream checksum)
     level: int = 6
     window: int = DEFAULT_WINDOW
-    max_words: int = 8  # gather-LCP cap (bytes = 4*max_words)
+    max_words: int = 8  # legacy knob (unused by the v2 matcher)
     lazy: bool = True  # zlib-style lazy matching
     dynamic: bool = True  # per-block dynamic Huffman (on-device)
+    payload_words: int = 3  # suffix context carried through the sort
+    lags: int = 2  # sorted-neighbor candidates examined
     # halo bytes carried from the previous block (DICT_SIZE for the zlib
     # family in stream mode, reference src/par/compress.rs:417-423)
     dict_size: int = 0
@@ -91,17 +93,19 @@ class DeflateEncodeConfig:
     def for_level(cls, block_len: int, mode: str, checksum: str, level: int,
                   dict_size: int = 0) -> "DeflateEncodeConfig":
         """Map a zlib-style compression level onto search-effort knobs
-        (the reference's level maps to zlib-ng's chain-depth tiers)."""
+        (the reference's level maps to zlib-ng's chain-depth tiers):
+        higher levels carry more context through the candidate sort,
+        examine more sorted neighbors, and parse wider windows."""
         if level <= 1:
-            mw, win, lazy, dyn = 4, 256, False, False
+            pw, lg, win, lazy = 2, 1, 256, False
         elif level <= 5:
-            mw, win, lazy, dyn = 8, 256, True, True
+            pw, lg, win, lazy = 3, 2, 256, True
         else:
-            mw, win, lazy, dyn = 16, 512, True, True
+            pw, lg, win, lazy = 6, 3, 512, True
         return cls(
             block_len=block_len, mode=mode, checksum=checksum, level=level,
-            window=win, max_words=mw, lazy=lazy, dynamic=dyn,
-            dict_size=dict_size,
+            window=win, lazy=lazy, dynamic=True,
+            payload_words=pw, lags=lg, dict_size=dict_size,
         )
 
     @property
@@ -279,10 +283,11 @@ def encode_deflate_blocks(
         max_dist=MAX_DIST,
         max_match=MAX_MATCH,
         min_emit=min_emit,
-        max_words=cfg.max_words,
         base=base,
         halo_start=halo_start,
         lazy=cfg.lazy,
+        payload_words=cfg.payload_words,
+        lags=cfg.lags,
     )
     marked, l = lz.parse_marks(
         match_len, lengths, window=cfg.window, min_emit=min_emit, base=base,

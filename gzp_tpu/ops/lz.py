@@ -113,9 +113,6 @@ def run_lengths(data_u8: jax.Array) -> jax.Array:
     return cnt_scan[:, ::-1]
 
 
-_PAYLOAD_BYTES = 12  # context carried through the sort (3 uint32 words)
-
-
 def best_matches(
     data_u8: jax.Array,
     lengths: jax.Array,
@@ -127,6 +124,8 @@ def best_matches(
     base: int = 0,
     halo_start: jax.Array | None = None,
     lazy: bool = False,
+    payload_words: int = 3,
+    lags: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Best match (length, distance) at every position of every block.
 
@@ -160,9 +159,11 @@ def best_matches(
     ``lazy=True`` applies zlib's lazy-match heuristic: a match is demoted
     to a literal when the next position holds a strictly longer match.
     """
-    del max_words  # v2 carries fixed sort payload; knob kept for API compat
+    del max_words  # v2 carries sort payload context; knob kept for API compat
     b, n_ext = data_u8.shape
     pos_bits = _pos_bits(n_ext)
+    payload_bytes = 4 * payload_words
+    assert payload_bytes <= 28, "len field is 5 bits (<= 31 with extension)"
     w4 = words4(data_u8)
     i_idx = jnp.broadcast_to(jnp.arange(n_ext, dtype=_I32)[None, :], (b, n_ext))
     end = base + lengths[:, None]
@@ -172,16 +173,16 @@ def best_matches(
     else:
         lo = halo_start[:, None].astype(_I32)
 
-    # -- one sort: keys group equal hashes, payload carries 12B of suffix
+    # -- one sort: keys group equal hashes; payload carries suffix context
     h = hash_positions(w4, 32 - pos_bits)
     pos_u = jnp.arange(n_ext, dtype=_U32)[None, :]
     key = (h << np.uint32(pos_bits)) | pos_u
-    wa = w4
-    wb = _shift_left(w4, 4, jnp.uint32(0))
-    wc = _shift_left(w4, 8, jnp.uint32(0))
-    sk, sa, sb, sc = jax.lax.sort(
-        (jnp.broadcast_to(key, (b, n_ext)), wa, wb, wc), dimension=1, num_keys=1
+    payload = [_shift_left(w4, 4 * k, jnp.uint32(0)) if k else w4
+               for k in range(payload_words)]
+    sorted_ops = jax.lax.sort(
+        (jnp.broadcast_to(key, (b, n_ext)), *payload), dimension=1, num_keys=1
     )
+    sk, spay = sorted_ops[0], sorted_ops[1:]
     sp = (sk & np.uint32((1 << pos_bits) - 1)).astype(_I32)
     sh = sk >> np.uint32(pos_bits)
 
@@ -193,19 +194,15 @@ def best_matches(
             jnp.logical_and(csame, cpos >= lo),
             jnp.logical_and(dist >= 1, dist <= max_dist),
         )
-        x0 = sa ^ _shift_right(sa, lag, jnp.uint32(0))
-        x1 = sb ^ _shift_right(sb, lag, jnp.uint32(0))
-        x2 = sc ^ _shift_right(sc, lag, jnp.uint32(0))
-        lcp = jnp.where(
-            x0 == 0,
-            jnp.where(
-                x1 == 0,
-                jnp.where(x2 == 0, 12, 8 + _tz_bytes(x2)),
-                4 + _tz_bytes(x1),
-            ),
-            _tz_bytes(x0),
-        )
-        capped = jnp.logical_and(valid, lcp >= _PAYLOAD_BYTES)
+        # word-wise LCP of the carried context vs the lagged neighbor's
+        lcp = jnp.full((b, n_ext), payload_bytes, _I32)
+        alive = jnp.ones((b, n_ext), jnp.bool_)
+        for k, w in enumerate(spay):
+            x = w ^ _shift_right(w, lag, jnp.uint32(0))
+            hit = jnp.logical_and(alive, x != 0)
+            lcp = jnp.where(hit, 4 * k + _tz_bytes(x), lcp)
+            alive = jnp.logical_and(alive, x == 0)
+        capped = jnp.logical_and(valid, lcp >= payload_bytes)
         lcp = jnp.where(valid, lcp, 0)
         return lcp, dist, capped
 
@@ -217,9 +214,10 @@ def best_matches(
             jnp.where(a_wins, ca, cb),
         )
 
-    l1, d1, c1 = neighbor(1)
-    l2, d2, c2 = neighbor(2)
-    ls, ds, cs = better(l1, d1, c1, l2, d2, c2)
+    ls, ds, cs = neighbor(1)
+    for lag in range(2, lags + 1):
+        l2, d2, c2 = neighbor(lag)
+        ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
 
     # -- back to position order: pack (capped, len, dist) and sort by pos
     # (invalid candidates carry garbage — possibly negative — distances
@@ -249,7 +247,7 @@ def best_matches(
     ln = jnp.where(run_wins, l3, ln)
 
     # -- extension doubling for context-capped matches
-    cap = _PAYLOAD_BYTES
+    cap = payload_bytes
     while cap < max_match:
         ln_next = _shift_left(ln, cap, 0)
         dist_next = _shift_left(dist, cap, 0)

@@ -24,7 +24,7 @@ def _corpus(nbytes: int) -> bytes:
     return make_corpus(nbytes)
 
 
-@pytest.mark.parametrize("level,bound", [(3, 1.06), (1, 1.30)])
+@pytest.mark.parametrize("level,bound", [(3, 1.06), (1, 1.03), (6, 1.20)])
 def test_size_vs_zlib_bound(level, bound):
     block = 65536
     nblocks = 8
