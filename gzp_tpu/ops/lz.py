@@ -259,6 +259,9 @@ def best_matches(
 
     ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
     ln = jnp.where(ln >= min_emit, ln, 0)
+    # zlib's TOO_FAR heuristic: a length-3 match beyond 4096 costs more
+    # bits than 3 literals more often than not (deflate.c TOO_FAR)
+    ln = jnp.where(jnp.logical_and(ln == 3, dist > 4096), 0, ln)
     valid_pos = jnp.logical_and(i_idx >= base, i_idx < end)
     ln = jnp.where(valid_pos, ln, 0)
 
