@@ -3,6 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
+Degraded-mode ladder (round-3 fix for two rc=124 rounds, VERDICT.md #1):
+the supervisor process forks ONE worker that climbs a config ladder
+(small -> flagship), emitting a JSON line per completed stage. The
+supervisor keeps the best (largest-config) result and prints it when
+the worker finishes, when the internal deadline expires, or when the
+driver sends SIGTERM/SIGINT — so a remote-compile-service outage mid
+-flagship still yields an honest number from an earlier stage.
+
 Methodology (honest — round 1's async-dispatch timing was retracted, see
 scripts/profile_stages.log): R iterations of the full batched encoder are
 chained INSIDE one jitted fori_loop with a one-byte data dependency
@@ -20,12 +28,24 @@ equivalent-entropy English-text corpus is synthesized deterministically.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 TARGET_GBPS = 5.0
+
+# ladder stages: (batch, block_size, reps) in ascending cost; the last is
+# the flagship config (reference benches 128 KiB blocks at level 3,
+# benches/bench.rs:120-150)
+LADDER = [
+    (8, 32768, 4),
+    (16, 131072, 4),
+    (64, 131072, 8),
+]
 
 
 def make_corpus(nbytes: int) -> bytes:
@@ -59,11 +79,8 @@ def make_corpus(nbytes: int) -> bytes:
     return b"".join(parts)[:nbytes]
 
 
-def main() -> None:
-    from gzp_tpu.utils.testing import enable_compilation_cache
-
-    enable_compilation_cache()
-
+def run_stage(batch: int, block_size: int, reps: int, level: int) -> dict:
+    """Compile + time + validate one ladder stage. Returns the result dict."""
     import gzip as _gzip
     import zlib as _zlib
 
@@ -71,11 +88,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gzp_tpu.ops.deflate_kernel import DeflateEncodeConfig, encode_deflate_blocks
-
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    level = int(sys.argv[3]) if len(sys.argv) > 3 else 3  # reference benches level 3
-    block_size = 131072
 
     cfg = DeflateEncodeConfig.for_level(block_size, "mgzip", "none", level)
 
@@ -135,11 +147,9 @@ def main() -> None:
             plain, want = plain[1:], want[1:]
         assert plain == want, f"bench validation failed at block {i}"
 
-    zlib_size = sum(
-        len(_zlib.compress(data[i].tobytes(), 3)) for i in range(batch)
-    )
+    zlib_size = sum(len(_zlib.compress(data[i].tobytes(), 3)) for i in range(batch))
 
-    result = {
+    return {
         "metric": "mgzip_encode_device_throughput_per_chip",
         "value": round(gbps, 4),
         "unit": "GB/s",
@@ -155,7 +165,125 @@ def main() -> None:
             "timing": "chained fori_loop, scalar-fetch forced; device compute only",
         },
     }
-    print(json.dumps(result))
+
+
+def worker(level: int) -> None:
+    """Climb the ladder, printing one JSON line per completed stage."""
+    from gzp_tpu.utils.testing import enable_compilation_cache
+
+    enable_compilation_cache()
+    for batch, block_size, reps in LADDER:
+        try:
+            res = run_stage(batch, block_size, reps, level)
+        except Exception as e:  # pragma: no cover - stage failure path
+            print(
+                json.dumps({"stage_error": f"{batch}x{block_size}: {e}"[:500]}),
+                flush=True,
+            )
+            continue
+        print(json.dumps(res), flush=True)
+
+
+def supervise(level: int) -> None:
+    """Fork the worker; keep the largest-config completed result; always
+    print exactly one JSON line, even on SIGTERM or deadline."""
+    deadline = time.time() + float(os.environ.get("GZP_BENCH_BUDGET_S", "3000"))
+    best: dict | None = None
+    errors: list[str] = []
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__), "--worker", str(level)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+
+    def finish(*_a):
+        try:
+            proc.kill()
+        except Exception:
+            pass
+        if best is not None:
+            out = dict(best)
+            out.setdefault("extra", {})["stage_errors"] = errors[:3]
+            print(json.dumps(out), flush=True)
+            os._exit(0)
+        print(
+            json.dumps(
+                {
+                    "metric": "mgzip_encode_device_throughput_per_chip",
+                    "value": 0.0,
+                    "unit": "GB/s",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "no ladder stage completed", "stage_errors": errors[:3]},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, finish)
+    signal.signal(signal.SIGINT, finish)
+
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    while True:
+        if time.time() > deadline:
+            finish()
+        if not sel.select(timeout=5.0):
+            if proc.poll() is not None:
+                finish()
+            continue
+        line = proc.stdout.readline()
+        if not line:
+            finish()
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            res = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "stage_error" in res:
+            errors.append(res["stage_error"])
+            _audit(errors, best)  # persist partial progress for post-mortems
+            continue
+        if best is None or (
+            res["extra"]["batch_blocks"] * res["extra"]["block_size"]
+            >= best["extra"]["batch_blocks"] * best["extra"]["block_size"]
+        ):
+            best = res
+        _audit(errors, best)
+
+
+def _audit(errors: list[str], best: dict | None) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_partial.json")
+    try:
+        with open(path, "w") as f:
+            json.dump({"best": best, "errors": errors, "t": time.time()}, f)
+    except OSError:
+        pass
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--worker":
+        worker(int(args[1]) if len(args) > 1 else 3)
+        return
+    if args and args[0] == "--stage":
+        # direct single-stage run: bench.py --stage BATCH BLOCK REPS [LEVEL]
+        from gzp_tpu.utils.testing import enable_compilation_cache
+
+        enable_compilation_cache()
+        b, bs, reps = int(args[1]), int(args[2]), int(args[3])
+        level = int(args[4]) if len(args) > 4 else 3
+        print(json.dumps(run_stage(b, bs, reps, level)))
+        return
+    level = int(args[0]) if args else 3
+    supervise(level)
 
 
 if __name__ == "__main__":

@@ -165,11 +165,29 @@ def _onehot_lookup2(
 ) -> tuple[jax.Array, jax.Array]:
     """(codes[b, sym], lens[b, sym]) for per-position ``sym`` via a batched
     one-hot matmul — 0.6 ns/element vs ~10 ns for an XLA gather
-    (scripts/probe_prims.log). Values < 2^15 are exact in f32."""
+    (scripts/probe_prims.log).
+
+    TPU MXU matmuls run f32 inputs through bf16 passes at default
+    precision (8 significand bits), so table VALUES above 256 would round
+    — Huffman codes reach 15 bits. The table is therefore split into
+    byte halves (every operand value <= 255, exact in bf16; the one-hot
+    row has a single nonzero so the accumulation is a copy) and
+    reassembled in integer space. This was a real TPU-only stream
+    corruptor: CPU validated clean while every dynamic-table block with a
+    long code desynced on device.
+    """
     o = jax.nn.one_hot(sym, width, dtype=jnp.float32)
-    tbl = jnp.stack([codes.astype(jnp.float32), lens.astype(jnp.float32)], axis=-1)
+    tbl = jnp.stack(
+        [
+            (codes & 0xFF).astype(jnp.float32),
+            (codes >> 8).astype(jnp.float32),
+            lens.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
     r = jnp.einsum("bnk,bko->bno", o, tbl)
-    return r[..., 0].astype(_U32), r[..., 1].astype(_I32)
+    code = r[..., 0].astype(_U32) | (r[..., 1].astype(_U32) << 8)
+    return code, r[..., 2].astype(_I32)
 
 
 def compute_symbols(data_ext, marked, l, dist):

@@ -1,0 +1,60 @@
+"""Prime the persistent XLA compile cache for every bench ladder stage.
+
+Run early in the round (and restarted by scripts/health_watch.sh if the
+remote compile service flakes): compiles + executes each bench.py ladder
+stage so the driver's end-of-round bench run is a pure cache hit
+(VERDICT.md round-3 task 1a). Logs phase timings for the round record.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+T0 = time.time()
+
+
+def log(msg: str) -> None:
+    print(f"[{time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo")
+    from gzp_tpu.utils.testing import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    log(f"backend up: {jax.devices()}")
+
+    # health probe + first-execution warm-up (the axon tunnel stalls
+    # minutes on a fresh process's first launch; pay it here)
+    t0 = time.time()
+    y = jax.jit(lambda v: (v * jnp.int32(3) + 1).sum())(jnp.arange(2048, dtype=jnp.int32))
+    y.block_until_ready()
+    log(f"warm-up exec: {time.time() - t0:.1f}s")
+
+    level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    failures = 0
+    for batch, block_size, reps in bench.LADDER:
+        t0 = time.time()
+        try:
+            res = bench.run_stage(batch, block_size, reps, level)
+        except Exception as e:
+            # keep climbing: a validation failure still primes the compile
+            # cache for this stage, which is the whole point of this script
+            log(f"stage {batch}x{block_size} FAILED after {time.time() - t0:.1f}s: {e!r:.300}")
+            failures += 1
+            continue
+        log(f"stage {batch}x{block_size} ok in {time.time() - t0:.1f}s: {json.dumps(res)}")
+    log(f"all ladder stages primed ({failures} failures)")
+    if failures:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
