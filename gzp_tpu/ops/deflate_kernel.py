@@ -85,6 +85,19 @@ class DeflateEncodeConfig:
     dynamic: bool = True  # per-block dynamic Huffman (on-device)
     payload_words: int = 3  # suffix context carried through the sort
     lags: int = 2  # sorted-neighbor candidates examined
+    # bit packer: 'group8' = in-register 8-entry pre-merge + 9-word-window
+    # placement (v3); 'v2' = one scatter-add pair per entry
+    pack: str = "group8"
+    placement: str = "unroll"  # group8 window placement: 'unroll' | 'window'
+    # RLE-compress the dynamic table description (CL syms 16/17/18 + a
+    # real CL Huffman) instead of the constant 4-bit layout; saves
+    # ~100-150 B/block (zlib parity). The fixed/dynamic decision still
+    # uses the constant-layout cost (conservative: real headers are
+    # smaller, so chosen-dynamic blocks only win more).
+    rle_header: bool = True
+    # add a 3-byte-hash candidate pass (pure 3-byte matches, zlib parity
+    # at high levels; two extra sorts)
+    hash3: bool = False
     # halo bytes carried from the previous block (DICT_SIZE for the zlib
     # family in stream mode, reference src/par/compress.rs:417-423)
     dict_size: int = 0
@@ -97,15 +110,19 @@ class DeflateEncodeConfig:
         higher levels carry more context through the candidate sort,
         examine more sorted neighbors, and parse wider windows."""
         if level <= 1:
-            pw, lg, win, lazy = 2, 1, 256, False
+            pw, lg, win, lazy, h3 = 2, 1, 256, False, False
         elif level <= 5:
-            pw, lg, win, lazy = 3, 2, 256, True
+            pw, lg, win, lazy, h3 = 3, 2, 256, True, False
+        elif level <= 8:
+            # hash3 stays off: measured net-negative on text (short
+            # matches displace longer ones in the greedy parse)
+            pw, lg, win, lazy, h3 = 7, 6, 512, True, False
         else:
-            pw, lg, win, lazy = 6, 3, 512, True
+            pw, lg, win, lazy, h3 = 7, 8, 1024, True, False
         return cls(
             block_len=block_len, mode=mode, checksum=checksum, level=level,
             window=win, lazy=lazy, dynamic=True,
-            payload_words=pw, lags=lg, dict_size=dict_size,
+            payload_words=pw, lags=lg, dict_size=dict_size, hash3=h3,
         )
 
     @property
@@ -122,7 +139,9 @@ class DeflateEncodeConfig:
         # is only chosen when it beats fixed, so fixed bounds token bits)
         # + dynamic header + trailers
         max_bits = 8 * self.header_len + 1344 + 9 * (self.block_len + 1) + 7 + 48
-        return (max_bits + 31) // 32 + 4  # slack for the byte footer region
+        # slack covers the byte footer region and the grouped packer's
+        # 9-word placement windows (trailing zero-entry groups)
+        return (max_bits + 31) // 32 + 10
 
     @property
     def out_bytes(self) -> int:
@@ -259,6 +278,122 @@ def _scatter_bits(words, rows, off, value_u32, max_sig_bits: int):
     return words
 
 
+def _shl_carry(lo_words: list[jax.Array], sm: jax.Array) -> list[jax.Array]:
+    """Shift a little-endian u32-lane value left by ``sm`` in [0, 31]:
+    returns len+1 lanes. (The >>(31-sm)>>1 split keeps shifts < 32.)"""
+    sm = sm.astype(_U32)
+    out = []
+    prev = None
+    for w in lo_words:
+        carry = jnp.uint32(0) if prev is None else (prev >> (jnp.uint32(31) - sm)) >> jnp.uint32(1)
+        out.append((w << sm) | carry)
+        prev = w
+    out.append((prev >> (jnp.uint32(31) - sm)) >> jnp.uint32(1))
+    return out
+
+
+def _merge_pair(a_words, a_n, b_words, b_n, k_opts: int):
+    """OR bit-string B (``b_words`` lanes, ``b_n`` bits) after bit-string A
+    (``a_words`` lanes, ``a_n`` bits <= 32*len(a_words)); returns
+    (words, n) with len(a_words)+len(b_words) lanes. ``k_opts`` = number
+    of possible word offsets for B's start (= len(a_words) + 1 options
+    bounded by a_n's range)."""
+    wa, wb = len(a_words), len(b_words)
+    sm = (a_n & 31).astype(_U32)
+    k = (a_n >> 5).astype(_I32)
+    u = _shl_carry(b_words, sm)  # wb + 1 lanes
+    out = []
+    for j in range(wa + wb):
+        acc = a_words[j] if j < wa else jnp.zeros_like(a_words[0])
+        for kk in range(min(k_opts, j + 1)):
+            t = j - kk
+            if t < len(u):
+                acc = acc | jnp.where(k == kk, u[t], jnp.uint32(0))
+        out.append(acc)
+    return out, a_n + b_n
+
+
+def pack_entries_grouped(
+    bits: jax.Array,
+    nbits: jax.Array,
+    base_bits: int,
+    out_words: int,
+    placement: str = "unroll",
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble the bit stream from per-entry (value, width) pairs.
+
+    v3 packer (VERDICT.md round-3 task 2): instead of one scatter-add per
+    entry (~6.3 ns/element on XLA:TPU, the measured v2 ceiling —
+    scripts/probe_prims.log), entries are pre-merged in-register into
+    groups of 8 via three rounds of pairwise shift-OR on u32 lanes; only
+    the resulting 9-word windows are scattered — 8x fewer scatter indices.
+
+    Args:
+      bits:  [B, E] uint32, entry values (< 2**31, i.e. <= 31 bits each)
+      nbits: [B, E] int32, entry widths in [0, 31]
+      base_bits: static bit offset of entry 0 (the byte header)
+      out_words: width of the output u32 buffer
+      placement: 'unroll' (9 per-column scatter-adds) or 'window'
+        (one lax.scatter_add with a 9-word update window)
+
+    Returns (words [B, out_words] uint32, total_bits [B] int32) where
+    total_bits includes ``base_bits``.
+    """
+    b, e = bits.shape
+    e8 = -(-e // 8) * 8
+    if e8 != e:
+        bits = jnp.concatenate([bits, jnp.zeros((b, e8 - e), _U32)], axis=1)
+        nbits = jnp.concatenate([nbits, jnp.zeros((b, e8 - e), _I32)], axis=1)
+
+    # round 1: pairs (<= 62 bits, 2 lanes)
+    v0, v1 = bits[:, 0::2], bits[:, 1::2]
+    n0, n1 = nbits[:, 0::2], nbits[:, 1::2]
+    sm = n0.astype(_U32)
+    lo = v0 | (v1 << sm)
+    hi = (v1 >> (jnp.uint32(31) - sm)) >> jnp.uint32(1)
+    w2, n2 = [lo, hi], n0 + n1
+
+    # round 2: quads (<= 124 bits, 4 lanes)
+    a = [w[:, 0::2] for w in w2]
+    bb = [w[:, 1::2] for w in w2]
+    w4, n4 = _merge_pair(a, n2[:, 0::2], bb, n2[:, 1::2], k_opts=2)
+
+    # round 3: octs (<= 248 bits, 8 lanes)
+    a = [w[:, 0::2] for w in w4]
+    bb = [w[:, 1::2] for w in w4]
+    w8, n8 = _merge_pair(a, n4[:, 0::2], bb, n4[:, 1::2], k_opts=4)
+
+    # absolute group offsets and phase shift into 9-word windows
+    csum = jnp.cumsum(n8, axis=1)
+    goff = base_bits + csum - n8
+    total_bits = base_bits + csum[:, -1]
+    win = _shl_carry(w8, (goff & 31).astype(_U32))  # 9 lanes
+    gw = goff >> 5
+
+    words = jnp.zeros((b, out_words), _U32)
+    if placement == "unroll":
+        rows = jnp.arange(b, dtype=_I32)[:, None]
+        for c in range(9):
+            words = words.at[rows, gw + c].add(win[c], mode="drop")
+    elif placement == "window":
+        g = w8[0].shape[1]
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(2,),
+            inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0, 1),
+        )
+        rows = jnp.broadcast_to(jnp.arange(b, dtype=_I32)[:, None], (b, g))
+        idx = jnp.stack([rows, gw], axis=-1)
+        upd = jnp.stack(win, axis=-1)  # [B, G, 9]
+        words = jax.lax.scatter_add(
+            words, idx, upd, dn, indices_are_sorted=True, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+    else:
+        raise ValueError(placement)
+    return words, total_bits
+
+
 def encode_deflate_blocks(
     cfg: DeflateEncodeConfig,
     data_u8: jax.Array,
@@ -306,6 +441,7 @@ def encode_deflate_blocks(
         lazy=cfg.lazy,
         payload_words=cfg.payload_words,
         lags=cfg.lags,
+        hash3=cfg.hash3,
     )
     marked, l = lz.parse_marks(
         match_len, lengths, window=cfg.window, min_emit=min_emit, base=base,
@@ -331,9 +467,12 @@ def encode_deflate_blocks(
             dlit_lens,
             ddist_lens,
         ) = huffman.choose_tables(lit_freq, dist_freq)
-        hfield_bits, hfield_n = huffman.dynamic_header_fields(
-            dlit_lens, ddist_lens, final, use_dyn
+        header_fields = (
+            huffman.dynamic_header_fields_rle
+            if cfg.rle_header
+            else huffman.dynamic_header_fields
         )
+        hfield_bits, hfield_n = header_fields(dlit_lens, ddist_lens, final, use_dyn)
     else:
         lit_codes, lit_lens, dist_codes, dist_lens = huffman.fixed_table_arrays(b)
         lit_codes = lit_codes.astype(_U32)
@@ -348,18 +487,27 @@ def encode_deflate_blocks(
 
     hdr_bits = 8 * cfg.header_len
 
-    # bit offsets: [member header][deflate block header (+dyn tables)][tokens]
-    hcsum = jnp.cumsum(hfield_n, axis=1)
-    hoff = hdr_bits + (hcsum - hfield_n)
-    deflate_hdr_bits = hdr_bits + hcsum[:, -1]  # [B]
+    if cfg.pack == "group8":
+        # one unified entry stream [deflate hdr (+dyn tables)][tokens][EOB]
+        # packed by the grouped merge (entries obey: bits < 2**nbits)
+        all_bits = jnp.concatenate([hfield_bits.astype(_U32), bits.astype(_U32)], axis=1)
+        all_n = jnp.concatenate([hfield_n, nbits], axis=1)
+        words, total_bits = pack_entries_grouped(
+            all_bits, all_n, hdr_bits, cfg.out_words, placement=cfg.placement
+        )
+    else:
+        # bit offsets: [member header][deflate block header (+dyn tables)][tokens]
+        hcsum = jnp.cumsum(hfield_n, axis=1)
+        hoff = hdr_bits + (hcsum - hfield_n)
+        deflate_hdr_bits = hdr_bits + hcsum[:, -1]  # [B]
 
-    csum = jnp.cumsum(nbits, axis=1)
-    off = deflate_hdr_bits[:, None] + (csum - nbits)
-    total_bits = deflate_hdr_bits + csum[:, -1]  # end of EOB
+        csum = jnp.cumsum(nbits, axis=1)
+        off = deflate_hdr_bits[:, None] + (csum - nbits)
+        total_bits = deflate_hdr_bits + csum[:, -1]  # end of EOB
 
-    words = jnp.zeros((b, cfg.out_words), dtype=_U32)
-    words = _scatter_bits(words, rows, hoff, hfield_bits.astype(_U32), 5)
-    words = _scatter_bits(words, rows, off, bits.astype(_U32), 31)
+        words = jnp.zeros((b, cfg.out_words), dtype=_U32)
+        words = _scatter_bits(words, rows, hoff, hfield_bits.astype(_U32), 5)
+        words = _scatter_bits(words, rows, off, bits.astype(_U32), 31)
 
     if member:
         end_bits = (total_bits + 7) & ~7

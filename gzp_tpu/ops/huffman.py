@@ -249,6 +249,142 @@ def dynamic_header_fields(
     return bits_all, n_all
 
 
+def _seg_runs(vals: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-position (offset-in-run, run-length) of maximal equal-value runs
+    along axis 1, via cummax/cummin scans (no sequential loop)."""
+    b, s = vals.shape
+    idx = jnp.broadcast_to(jnp.arange(s, dtype=_I32)[None, :], (b, s))
+    start = jnp.concatenate(
+        [jnp.ones((b, 1), jnp.bool_), vals[:, 1:] != vals[:, :-1]], axis=1
+    )
+    rs = jax.lax.cummax(jnp.where(start, idx, 0), axis=1)
+    nxt = jnp.concatenate(
+        [jnp.where(start, idx, s)[:, 1:], jnp.full((b, 1), s, _I32)], axis=1
+    )
+    re = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    return idx - rs, re - rs
+
+
+def rle_code_length_symbols(
+    all_lens: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-position RLE encoding of the 316 code lengths (RFC 1951 §3.2.7
+    CL symbols 16/17/18 — zlib's compressed table description, the ~60
+    B/block the constant-layout header leaves on the table, VERDICT.md
+    round-3 task 3).
+
+    Greedy chunking, fully per-position arithmetic: zero runs become
+    138-bit-max sym-18 pieces (then one 17/18 for the 3..137 remainder,
+    literal zeros below 3); a nonzero run emits its value once then 16
+    pieces of 3..6 repeats. Returns (clsym [B,S] int32 with -1 where the
+    position is covered by a piece, extra [B,S], extra_n [B,S], emitted
+    [B,S] bool).
+    """
+    v = all_lens.astype(_I32)
+    ii, ln = _seg_runs(v)
+    is_zero = v == 0
+
+    # --- zero runs: pieces anchored every 138 positions
+    ps = ii - ii % 138
+    rem = ln - ps
+    size0 = jnp.where(rem >= 11, jnp.minimum(rem, 138), jnp.where(rem >= 3, rem, 0))
+    start0 = jnp.logical_and(ii == ps, size0 > 0)
+    tail0 = ii >= ps + size0  # beyond the piece (or size0 == 0): literal 0
+    sym0 = jnp.where(size0 >= 11, 18, 17)
+    extra0 = jnp.where(size0 >= 11, size0 - 11, size0 - 3)
+    extran0 = jnp.where(size0 >= 11, 7, 3)
+
+    # --- nonzero runs: literal at run start, then 16-pieces every 6
+    jj = ii - 1
+    cs = jj - jj % 6
+    remn = (ln - 1) - cs
+    size1 = jnp.where(remn >= 3, jnp.minimum(remn, 6), 0)
+    start1 = jnp.logical_and(jnp.logical_and(ii > 0, jj == cs), size1 > 0)
+    tail1 = jnp.logical_and(ii > 0, jj >= cs + size1)
+
+    clsym = jnp.full_like(v, -1)
+    extra = jnp.zeros_like(v)
+    extran = jnp.zeros_like(v)
+
+    # literals: run head of nonzero runs, and zero-run tail positions
+    lit = jnp.where(is_zero, tail0, jnp.logical_or(ii == 0, tail1))
+    clsym = jnp.where(lit, v, clsym)
+    # pieces
+    clsym = jnp.where(jnp.logical_and(is_zero, start0), sym0, clsym)
+    extra = jnp.where(jnp.logical_and(is_zero, start0), extra0, extra)
+    extran = jnp.where(jnp.logical_and(is_zero, start0), extran0, extran)
+    clsym = jnp.where(jnp.logical_and(~is_zero, start1), 16, clsym)
+    extra = jnp.where(jnp.logical_and(~is_zero, start1), size1 - 3, extra)
+    extran = jnp.where(jnp.logical_and(~is_zero, start1), 2, extran)
+    return clsym, extra, extran, clsym >= 0
+
+
+def dynamic_header_fields_rle(
+    lit_lens: jax.Array, dist_lens: jax.Array, final: jax.Array, use_dyn: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """RLE-compressed dynamic header as (bits, nbits) virtual tokens with
+    the same [B, 1+3+19+316] layout as :func:`dynamic_header_fields` —
+    covered positions are 0-width entries. Falls back per block to the
+    constant 4-bit layout when the CL alphabet is degenerate (< 2 used
+    symbols, whose 7-bit-capped Huffman code would be incomplete)."""
+    b = lit_lens.shape[0]
+    all_lens = jnp.concatenate([lit_lens, dist_lens], axis=1)  # [B, 316]
+    clsym, extra, extran, emitted = rle_code_length_symbols(all_lens)
+
+    # CL alphabet Huffman, max length 7 (fits HCLEN's 3-bit fields)
+    o = jax.nn.one_hot(jnp.where(emitted, clsym, 0), 19, dtype=jnp.float32)
+    cl_freq = jnp.sum(
+        o * emitted[:, :, None].astype(jnp.float32), axis=1
+    ).astype(_I32)
+    cl_lens, cl_ok = code_lengths(cl_freq, max_len=7)
+    cl_codes = canonical_codes(cl_lens)
+
+    # per-position CL code lookup (one-hot matmul; values <= 127, exact
+    # even through TPU bf16 matmul passes)
+    tbl = jnp.stack(
+        [cl_codes.astype(jnp.float32), cl_lens.astype(jnp.float32)], axis=-1
+    )
+    r = jnp.einsum("bsk,bko->bso", o, tbl)
+    pc = r[..., 0].astype(_U32)
+    pn = r[..., 1].astype(_I32)
+
+    rle_bits = jnp.where(emitted, pc | (extra.astype(_U32) << pn.astype(_U32)), 0)
+    rle_n = jnp.where(emitted, pn + extran, 0)
+
+    # constant-layout fallback (all 16 value symbols at 4 bits)
+    const_bits = _rev4(jnp.clip(all_lens, 0, 15))
+    const_n = jnp.full_like(all_lens, 4)
+
+    use_rle = cl_ok[:, None]
+    lens_bits = jnp.where(use_rle, rle_bits, const_bits.astype(_U32))
+    lens_n = jnp.where(use_rle, rle_n, const_n)
+
+    # 19 CL lens in permuted order, 3 bits each
+    cl_field = jnp.where(
+        use_rle,
+        cl_lens[:, CL_ORDER],
+        jnp.asarray([4 if s <= 15 else 0 for s in CL_ORDER], _I32)[None, :],
+    ).astype(_U32)
+
+    hdr3_dyn = jnp.uint32(4) | final.astype(_U32)
+    hdr3_fix = jnp.uint32(2) | final.astype(_U32)
+    head_bits = [jnp.where(use_dyn, hdr3_dyn, hdr3_fix)[:, None]]
+    head_n = [jnp.full((b, 1), 3, _I32)]
+    for val, width in ((NLIT - 257, 5), (NDIST - 1, 5), (19 - 4, 4)):
+        head_bits.append(jnp.full((b, 1), val, _U32))
+        head_n.append(jnp.full((b, 1), width, _I32))
+    head_bits.append(cl_field)
+    head_n.append(jnp.full((b, 19), 3, _I32))
+
+    bits_all = jnp.concatenate(head_bits + [lens_bits], axis=1)
+    n_all = jnp.concatenate(head_n + [lens_n], axis=1)
+    keep_first = jnp.arange(bits_all.shape[1], dtype=_I32)[None, :] == 0
+    keep = jnp.logical_or(use_dyn[:, None], keep_first)
+    n_all = jnp.where(keep, n_all, 0)
+    bits_all = jnp.where(keep, bits_all, 0)
+    return bits_all, n_all
+
+
 def fixed_table_arrays(b: int) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fixed-Huffman tables broadcast to [B, S] for per-block selection."""
     fc, fn = tables.fixed_litlen_codes()

@@ -126,6 +126,7 @@ def best_matches(
     lazy: bool = False,
     payload_words: int = 3,
     lags: int = 2,
+    hash3: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Best match (length, distance) at every position of every block.
 
@@ -235,6 +236,48 @@ def best_matches(
     ln = ((packed_pos >> 17) & 0x1F).astype(_I32)
     dist = (packed_pos & 0x1FFFF).astype(_I32)
     capped = (packed_pos >> 22) == 1
+
+    if hash3:
+        # second candidate source keyed on a 3-byte hash: finds the pure
+        # 3-byte matches a 4-byte hash can never see (zlib hashes
+        # MIN_MATCH=3 bytes). Lengths are capped at 4 — anything longer
+        # shares its first 4 bytes and lands in the hash4 bucket above.
+        h3 = ((w4 & np.uint32(0xFFFFFF)) * HASH_MUL) >> np.uint32(pos_bits)
+        key3 = (h3 << np.uint32(pos_bits)) | pos_u
+        sk3, sw3 = jax.lax.sort(
+            (jnp.broadcast_to(key3, (b, n_ext)), w4), dimension=1, num_keys=1
+        )
+        sp3 = (sk3 & np.uint32((1 << pos_bits) - 1)).astype(_I32)
+        sh3 = sk3 >> np.uint32(pos_bits)
+
+        l3s = jnp.zeros((b, n_ext), _I32)
+        d3s = jnp.zeros((b, n_ext), _I32)
+        for lag in (1, 2):
+            cpos = _shift_right(sp3, lag, -1)
+            csame = _shift_right(sh3, lag, np.uint32(0xFFFFFFFF)) == sh3
+            dist3 = sp3 - cpos
+            valid = jnp.logical_and(
+                jnp.logical_and(csame, cpos >= lo),
+                jnp.logical_and(dist3 >= 1, dist3 <= max_dist),
+            )
+            x = sw3 ^ _shift_right(sw3, lag, jnp.uint32(0))
+            lcp = jnp.where(x == 0, 4, _tz_bytes(x))
+            lcp = jnp.where(valid, lcp, 0)
+            win3 = jnp.logical_or(
+                lcp > l3s, jnp.logical_and(lcp == l3s, dist3 < d3s)
+            )
+            l3s = jnp.where(win3, lcp, l3s)
+            d3s = jnp.where(win3, dist3, d3s)
+        d3s = jnp.where(l3s > 0, d3s, 0)
+        packed3 = d3s.astype(_U32) | (l3s.astype(_U32) << 17)
+        _, packed3_pos = jax.lax.sort(
+            (sp3.astype(_U32), packed3), dimension=1, num_keys=1
+        )
+        ln3 = ((packed3_pos >> 17) & 0x1F).astype(_I32)
+        dist3 = (packed3_pos & 0x1FFFF).astype(_I32)
+        ln, dist, capped = better(
+            ln, dist, capped, ln3, dist3, jnp.zeros_like(capped)
+        )
 
     # -- distance-1 runs, exact to any length (the RLE workhorse)
     l3 = run_lengths(data_u8)

@@ -45,7 +45,11 @@ class SnappyEncodeConfig:
     block_len: int  # N <= 65536
     window: int = 256
     max_words: int = 8
-    max_match: int = 64
+    # matches longer than 64 are emitted as CHAINS of tag-10 copies
+    # (reference snap crate behavior, src/snap.rs:34-83); the parse
+    # window bounds a single token, chains split it into <=64 pieces
+    max_match: int = 256
+    max_chain_piece: int = 64  # tag-10 copy length cap (format limit)
 
     @property
     def out_bytes(self) -> int:
@@ -99,19 +103,43 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     remain = run_end - i_idx  # literals remaining in the run (incl. self)
     has_tag = jnp.logical_and(is_lit, r % _MAX_LIT_ELEM == 0)
 
+    # ----- chained copies: every 64th covered position of a match token
+    # starts a fresh tag-10 element with the same offset (matches longer
+    # than 64 thereby use ceil(l/64) copies instead of being capped) -----
+    tok_start = jax.lax.cummax(jnp.where(is_match, i_idx, -1), axis=1)
+
+    def _propagate(vals):
+        # carry the last match-start's value forward across covered slots
+        def op(a, bb):
+            av, aval = a
+            bv, bval = bb
+            return jnp.logical_or(av, bv), jnp.where(bv, bval, aval)
+
+        _, out = jax.lax.associative_scan(
+            op, (is_match, vals), axis=1
+        )
+        return out
+
+    carried_l = _propagate(jnp.where(is_match, l, 0))
+    carried_d = _propagate(jnp.where(is_match, match_dist, 0))
+    rel = i_idx - tok_start
+    in_match = jnp.logical_and(tok_start >= 0, rel < carried_l)
+    chunk_start = jnp.logical_and(in_match, rel % cfg.max_chain_piece == 0)
+    chunk_len = jnp.minimum(cfg.max_chain_piece, carried_l - rel)
+
     # ----- per-position entries (bit widths are byte multiples) -----
     lit_byte = data_u8.astype(_U32)
     lit_tag = ((jnp.minimum(remain, _MAX_LIT_ELEM) - 1) << 2).astype(_U32)
-    m_tag = (2 | ((l - 1) << 2)).astype(_U32)
-    doff = match_dist.astype(_U32)
+    m_tag = (2 | ((chunk_len - 1) << 2)).astype(_U32)
+    doff = carried_d.astype(_U32)
 
     entry = jnp.where(
         is_lit,
         jnp.where(has_tag, lit_tag | (lit_byte << 8), lit_byte),
-        jnp.where(is_match, m_tag | ((doff & 0xFF) << 8) | ((doff >> 8) << 16), 0),
+        jnp.where(chunk_start, m_tag | ((doff & 0xFF) << 8) | ((doff >> 8) << 16), 0),
     )
     width = jnp.where(
-        is_lit, 8 * (1 + has_tag.astype(_I32)), jnp.where(is_match, 24, 0)
+        is_lit, 8 * (1 + has_tag.astype(_I32)), jnp.where(chunk_start, 24, 0)
     )
 
     # varint preamble for the uncompressed length

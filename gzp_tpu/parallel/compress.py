@@ -73,7 +73,22 @@ class ParCompress:
         queue_depth: int = DEFAULT_QUEUE_DEPTH,
         mesh: jax.sharding.Mesh | None = None,
         use_dict: bool = True,
+        emit_header: bool = True,
+        emit_footer: bool = True,
+        final_on_finish: bool = True,
+        preset_carry: bytes = b"",
     ) -> None:
+        """Shard-mode knobs (public API for gzp_tpu.parallel.multihost —
+        one host compresses a contiguous mid-stream block range):
+
+        * ``emit_header=False``  — suppress the stream header (rank > 0)
+        * ``emit_footer=False``  — suppress trailer+footer (the stitcher
+          emits them once with the combined check)
+        * ``final_on_finish=False`` — ``finish()`` dispatches the tail as
+          a NON-final block (the stream continues in the next shard)
+        * ``preset_carry``       — preset the 32 KiB dictionary from the
+          previous shard's trailing input bytes
+        """
         if num_threads < 1:
             raise NumThreadsError(num_threads)
         buffer_size = buffer_size or format_spec.default_bufsize
@@ -91,15 +106,19 @@ class ParCompress:
         self.queue_depth = queue_depth
         self.mesh = mesh
 
+        self._emit_footer = emit_footer
+        self._final_on_finish = final_on_finish
         self._buffer = bytearray()
         self._carry = b""  # previous block's trailing dict bytes
         self._inflight: collections.deque = collections.deque()
         self._check = format_spec.create_check()
-        self._header_written = False
+        self._header_written = not emit_header
         self._finished = False
         self._error: BaseException | None = None
         self._wrote_final_block = False
         self._emitted_any = False
+        if preset_carry:
+            self._carry = preset_carry[-DICT_SIZE:]
 
         if format_spec.codec == "deflate":
             checksum = {"crc32": "crc32", "adler32": "adler32"}.get(
@@ -170,18 +189,24 @@ class ParCompress:
         self._ensure_open()
         data = bytes(self._buffer)
         self._buffer.clear()
-        self._dispatch_tail(data, final=True)
+        self._dispatch_tail(data, final=self._final_on_finish)
         self._drain_all()
         if not self._header_written:
             self._write_header()
-        trailer = self.format.trailer_bytes()
-        if trailer:
-            self.writer.write(trailer)
-        footer = self.format.footer(self._check)
-        if footer:
-            self.writer.write(footer)
+        if self._emit_footer:
+            trailer = self.format.trailer_bytes()
+            if trailer:
+                self.writer.write(trailer)
+            footer = self.format.footer(self._check)
+            if footer:
+                self.writer.write(footer)
         self._finished = True
         return self.writer
+
+    @property
+    def check(self):
+        """The running stream checksum (combined across emitted blocks)."""
+        return self._check
 
     def close(self) -> None:
         if not self._finished and self._error is None:

@@ -120,7 +120,10 @@ def compress_shard(
         buffer_size = min(buffer_size, format_spec.max_input_block)
     ranges = shard_ranges(len(data), buffer_size, num_shards)
     start, end = ranges[rank]
+    last = rank == num_shards - 1
     sink = io.BytesIO()
+    # header/footer/trailer are the stitcher's job; non-last shards end
+    # mid-stream (Z_SYNC_FLUSH block join), the last closes the stream
     pc = ParCompress(
         format_spec,
         sink,
@@ -128,21 +131,14 @@ def compress_shard(
         compression_level=compression_level,
         buffer_size=buffer_size,
         mesh=mesh,
+        emit_header=False,
+        emit_footer=False,
+        final_on_finish=last,
+        preset_carry=data[max(0, start - DICT_SIZE) : start] if rank > 0 else b"",
     )
-    # header/footer are the stitcher's job
-    pc._header_written = True
-    if rank > 0 and getattr(pc._cfg, "dict_size", 0):
-        pc._carry = data[max(0, start - DICT_SIZE) : start]
     pc.write(data[start:end])
-    if rank == num_shards - 1:
-        # the last shard terminates the stream (BFINAL / EOF member)
-        pc._dispatch_tail(bytes(pc._buffer), final=True)
-        pc._buffer.clear()
-        pc._drain_all()
-    else:
-        pc.flush()
-    check = pc._check
-    pc._finished = True  # suppress footer emission on GC
+    pc.finish()
+    check = pc.check
     return ShardResult(rank, sink.getvalue(), check.sum(), check.amount())
 
 

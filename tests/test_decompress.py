@@ -132,6 +132,51 @@ def test_multigz_fallback_reader():
     assert MultiGzDecoder(io.BytesIO(buf.getvalue())).read() == data
 
 
+def test_multigz_streams_bounded_memory():
+    """The 0-thread reader must consume input incrementally (member at a
+    time), not slurp the stream (reference src/par/decompress.rs:93-99 is
+    a true streaming reader)."""
+    import zlib as _zlib
+
+    # many small members: ~4 MB stream of 64 KiB members
+    member_plain = make_text(65536, seed=3)
+    raw = _zlib.compress(member_plain, 1)[2:-4]
+    one = (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+        + raw
+        + struct.pack("<II", _zlib.crc32(member_plain), len(member_plain))
+    )
+    nmembers = 64
+    blob = one * nmembers
+
+    class MeteredReader(io.RawIOBase):
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+            self.max_request = 0
+
+        def read(self, size=-1):
+            assert size is not None and size >= 0, "streaming reader must bound reads"
+            self.max_request = max(self.max_request, size)
+            out = self.data[self.pos : self.pos + size]
+            self.pos += len(out)
+            return out
+
+    src = MeteredReader(blob)
+    dec = MultiGzDecoder(src)
+    out = bytearray()
+    while True:
+        chunk = dec.read(1 << 16)
+        if not chunk:
+            break
+        out += chunk
+        # input consumption tracks output: never more than a few members
+        # ahead of what has been returned
+        assert src.pos <= len(one) * (len(out) // len(member_plain) + 3) + (1 << 21)
+    assert bytes(out) == member_plain * nmembers
+    assert src.max_request <= 1 << 27
+
+
 def test_mgzip_blen_roundtrip_field():
     blob = compress(Mgzip, make_text(40_000, seed=11))
     blen = struct.unpack("<I", blob[16:20])[0]
