@@ -589,15 +589,52 @@ def compact_outputs(out: jax.Array, out_len: jax.Array) -> jax.Array:
     pulling the padded ``[B, M]`` buffer over PCIe: the caller fetches
     ``flat[:sum(out_len)]`` only (round-1 weakness #3 — the full padded
     d2h per batch, VERDICT.md).
+
+    Round 3: word-level placement — each row is masked past ``out_len``,
+    byte-rotated by its destination's word phase (elementwise, select
+    over 4 shifts), and scattered as u32 words: 4x fewer scatter
+    elements than the byte-level scatter, and adjacent rows sharing a
+    boundary word combine by add over disjoint byte lanes.
     """
     b, m = out.shape
+    assert m % 4 == 0
+    mw = m // 4
     starts = jnp.cumsum(out_len) - out_len  # exclusive prefix [B]
-    pos = starts[:, None] + jnp.arange(m, dtype=_I32)[None, :]
+
+    # zero the padded tail, then view rows as little-endian u32 words
     valid = jnp.arange(m, dtype=_I32)[None, :] < out_len[:, None]
-    pos = jnp.where(valid, pos, b * m)  # out-of-bounds -> dropped
-    flat = jnp.zeros((b * m,), _U8)
-    flat = flat.at[pos.reshape(-1)].set(out.reshape(-1), mode="drop")
-    return flat
+    ob = jnp.where(valid, out, 0).astype(_U32).reshape(b, mw, 4)
+    w = ob[..., 0] | (ob[..., 1] << 8) | (ob[..., 2] << 16) | (ob[..., 3] << 24)
+
+    # shift each row left by its start's byte phase (0..3): one extra
+    # carry word catches the spill
+    sh = (starts & 3).astype(_U32)[:, None] * 8
+    wz = jnp.concatenate([jnp.zeros((b, 1), _U32), w], axis=1)  # [B, MW+1]
+    shifted = jnp.where(
+        sh > 0,
+        (wz[:, 1:] << sh) | (wz[:, :-1] >> (jnp.uint32(32) - jnp.maximum(sh, 1))),
+        wz[:, 1:],
+    )
+    carry = jnp.where(
+        sh > 0, w[:, -1:] >> (jnp.uint32(32) - jnp.maximum(sh, 1)), jnp.uint32(0)
+    )
+    roww = jnp.concatenate([shifted, carry], axis=1)  # [B, MW+1]
+
+    # scatter words at each row's destination word index
+    nw = mw * b
+    wstart = (starts >> 2)[:, None]
+    widx = wstart + jnp.arange(mw + 1, dtype=_I32)[None, :]
+    # words wholly past this row's content contribute nothing; drop them
+    # so boundary words shared with the next row aren't double-padded
+    row_words = (((starts & 3) + out_len + 3) >> 2)[:, None]
+    widx = jnp.where(jnp.arange(mw + 1, dtype=_I32)[None, :] < row_words, widx, nw)
+    flatw = jnp.zeros((nw,), _U32)
+    flatw = flatw.at[widx.reshape(-1)].add(roww.reshape(-1), mode="drop")
+
+    return jnp.stack(
+        [flatw & 0xFF, (flatw >> 8) & 0xFF, (flatw >> 16) & 0xFF, (flatw >> 24) & 0xFF],
+        axis=-1,
+    ).reshape(b * m).astype(_U8)
 
 
 @functools.lru_cache(maxsize=32)
