@@ -38,12 +38,16 @@ import numpy as np
 
 TARGET_GBPS = 5.0
 
-# ladder stages: (batch, block_size, reps) in ascending cost; the last is
-# the flagship config (reference benches 128 KiB blocks at level 3,
-# benches/bench.rs:120-150)
+# ladder stages: (batch, block_size, reps) in ascending cost; the last
+# stages are the flagship configs (reference benches 128 KiB blocks at
+# level 3, benches/bench.rs:120-150). 64x128KiB sits last because its
+# compile has twice crashed the remote XLA service ("Unexpected EOF"
+# after ~1 h, scripts/prime_r3.log) — every earlier stage is banked
+# before attempting it.
 LADDER = [
     (8, 32768, 4),
     (16, 131072, 4),
+    (32, 131072, 8),
     (64, 131072, 8),
 ]
 
