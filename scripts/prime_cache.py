@@ -51,6 +51,21 @@ def main() -> None:
             failures += 1
             continue
         log(f"stage {batch}x{block_size} ok in {time.time() - t0:.1f}s: {json.dumps(res)}")
+    # also prime the driver's single-chip compile check (__graft_entry__)
+    t0 = time.time()
+    try:
+        import __graft_entry__ as g
+
+        fn, fargs = g.entry()
+        out, out_len, check = fn(*fargs)
+        import numpy as _np
+
+        _np.asarray(out_len)
+        log(f"graft entry primed in {time.time() - t0:.1f}s")
+    except Exception as e:
+        log(f"graft entry FAILED after {time.time() - t0:.1f}s: {e!r:.200}")
+        failures += 1
+
     log(f"all ladder stages primed ({failures} failures)")
     if failures:
         raise SystemExit(1)
