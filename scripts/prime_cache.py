@@ -39,8 +39,17 @@ def main() -> None:
     log(f"warm-up exec: {time.time() - t0:.1f}s")
 
     level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # the 64-row flagship compile has repeatedly crashed the remote XLA
+    # service; by default prime only what reliably compiles (the bench
+    # ladder itself still attempts every stage at run time)
+    import os
+
+    max_batch = int(os.environ.get("GZP_PRIME_MAX_BATCH", "32"))
     failures = 0
     for batch, block_size, reps in bench.LADDER:
+        if batch > max_batch:
+            log(f"stage {batch}x{block_size} skipped (GZP_PRIME_MAX_BATCH={max_batch})")
+            continue
         t0 = time.time()
         try:
             res = bench.run_stage(batch, block_size, reps, level)
