@@ -315,6 +315,114 @@ def best_matches(
     return ln, dist
 
 
+def parse_marks_scan(
+    match_len: jax.Array,
+    lengths: jax.Array,
+    *,
+    min_emit: int,
+    base: int = 0,
+    max_step: int = 255,
+) -> tuple[jax.Array, jax.Array]:
+    """Windowless greedy parse via δ-state function composition.
+
+    The greedy walk ``next(i) = i + max(1, l_i)`` carries one scalar of
+    state past position ``i``: δ = (next visited position) − i, with
+    δ ∈ [0, max_step]. Each position is the map ``f_i(δ) = (δ == 0 ?
+    step_i : δ) − 1``; a contiguous range is the composition of its
+    maps, which for a range of length L is a table over entry-δ < L
+    (≥ L passes through as δ − L). Tables cap at 256 entries because
+    steps are capped at ``max_step`` = 255 (matches ≥ 256 emit 255 and
+    re-match — sub-0.1% size cost) — exactly one byte, so the one-hot
+    compositions stay exact through TPU bf16 matmul passes.
+
+    Upward pass: log2(N) levels of pairwise table composition (one-hot
+    matmuls, ~500 int8 MACs/element total vs the windowed closure's
+    ~2000). Downward pass: evaluate each node's entry-δ from the root
+    (δ=0); a leaf with entry-δ 0 is a token start. Unlike
+    :func:`parse_marks` there is NO window clamp — matches keep their
+    full length, which both removes the per-256-boundary truncation
+    loss and the [B·NW, 257, 257] closure memory.
+
+    Returns ``(marked, l)`` like :func:`parse_marks`.
+    """
+    b, m_in = match_len.shape
+    w = max_step + 1  # δ-domain size (256)
+    # pad to a power of two >= w so every level's tables are regular
+    m = max(w, 1 << (m_in - 1).bit_length())
+    pad = m - m_in
+    if pad:
+        match_len = jnp.concatenate(
+            [match_len, jnp.zeros((b, pad), _I32)], axis=1
+        )
+
+    i_idx = jnp.broadcast_to(jnp.arange(m, dtype=_I32)[None, :], (b, m))
+    end = base + lengths[:, None]
+    l = jnp.minimum(match_len, max_step)
+    l = jnp.minimum(l, jnp.maximum(end - i_idx, 0))
+    l = jnp.where(l >= min_emit, l, 0)
+    step = jnp.where(l > 0, l, 1)
+
+    # leaf tables: width-1 (only entry δ=0 is non-pass-through)
+    tables = (step - 1)[:, :, None].astype(jnp.float32)  # [B, M, 1]
+    seg = 1
+
+    def compose(f, g, seg_len):
+        """Pairwise composition: parent[δ] = apply(g, f[δ]) for δ<width_f,
+        then entries δ in [seg_len, parent_width) come straight from g."""
+        wf = f.shape[-1]
+        wg = g.shape[-1]
+        wp = min(2 * seg_len, w)
+        fv = f.astype(_I32)
+        # v = f[δ] is relative to the midpoint; v < wg uses g's table,
+        # else passes through as v - seg_len
+        oh = jax.nn.one_hot(jnp.where(fv < wg, fv, wg), wg + 1, dtype=jnp.float32)
+        thr = jnp.einsum("bnvk,bnk->bnv", oh[..., :wg], g)
+        out_lo = jnp.where(fv < wg, thr.astype(_I32), fv - seg_len)
+        if wp > wf:
+            # entries δ ∈ [seg_len, wp): skip f entirely (δ' = δ - seg_len
+            # entering g): g[δ - seg_len] for δ - seg_len < wg else δ - 2*seg_len
+            d = jnp.arange(wf, wp, dtype=_I32) - seg_len  # [wp - wf]
+            gpart = g[:, :, :]  # [B, P, wg]
+            idx = jnp.clip(d, 0, wg - 1)
+            taken = gpart[:, :, idx]  # static indices: plain slice-gather
+            out_hi = jnp.where(
+                (d >= 0)[None, None, :] & (d < wg)[None, None, :],
+                taken.astype(_I32),
+                (jnp.arange(wf, wp, dtype=_I32) - 2 * seg_len)[None, None, :],
+            )
+            out = jnp.concatenate([out_lo, out_hi], axis=-1)
+        else:
+            out = out_lo[..., :wp]
+        return out.astype(jnp.float32)
+
+    # upward: tables[level] kept for the downward pass
+    ups = []
+    t = tables
+    while t.shape[1] > 1:
+        f = t[:, 0::2]
+        g = t[:, 1::2]
+        ups.append((t, seg))
+        t = compose(f, g, seg)
+        seg *= 2
+    ups.append((t, seg))
+
+    # downward: entry-δ per node; root enters with δ = 0
+    entry = jnp.zeros((b, 1), _I32)
+    for t_lvl, seg_l in reversed(ups[:-1]):
+        f = t_lvl[:, 0::2]  # [B, P, wf]
+        wf = f.shape[-1]
+        # left child entry = parent entry; right child entry = f_left(entry)
+        oh = jax.nn.one_hot(jnp.minimum(entry, wf), wf + 1, dtype=jnp.float32)
+        fe = jnp.einsum("bpk,bpk->bp", oh[..., :wf], f).astype(_I32)
+        right = jnp.where(entry < wf, fe, entry - seg_l)
+        entry = jnp.stack([entry, right], axis=2).reshape(b, -1)
+
+    marked = entry == 0
+    valid = jnp.logical_and(i_idx >= base, i_idx < end)
+    marked = jnp.logical_and(marked, valid)
+    return marked[:, :m_in], l[:, :m_in]
+
+
 def parse_marks(
     match_len: jax.Array,
     lengths: jax.Array,
