@@ -401,6 +401,93 @@ def pack_entries_grouped(
     return words, total_bits
 
 
+def pack_entries_sortscan(
+    bits: jax.Array,
+    nbits: jax.Array,
+    base_bits: int,
+    out_words: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter-free bit packing: segmented OR-scan + one placement sort.
+
+    The v4 packer (round 4). XLA:TPU charges ~9 ns per scattered element
+    at any shape (scripts/probe_pack.log), which caps every scatter-based
+    placement near 9 ns/input-byte. This formulation has **zero scatters
+    and zero gathers**:
+
+    * A prefix sum of entry widths gives each entry's absolute bit
+      position; ``cnt = bitpos & 31`` is the in-word phase and
+      ``w = bitpos >> 5`` the target word — all known up front, so the
+      CPU encoder's sequential bit-buffer state never materializes.
+    * Every output word is *completed* by exactly one entry (the one
+      whose bits cross the word's end — entries are <= 31 bits, so each
+      entry crosses at most one boundary and words are never skipped).
+      The word's value is the OR of its entries' phase-shifted low parts
+      plus the previous word's spill; both arrive via ONE segmented
+      OR-scan over entries (segments = words; the spill ``hi`` of a
+      crossing entry is injected at the next segment's start).
+    * Placement: sort (target word, value) per block — completing
+      entries carry their word index, everything else 0xFFFFFFFF — and
+      the sorted prefix IS the dense little-endian word stream. Sorts
+      cost ~1-1.6 ns/element on TPU (scripts/probe_prims.log) and keep
+      improving with batch, unlike scatters.
+
+    Same contract as :func:`pack_entries_grouped` (entries obey
+    ``bits < 2**nbits``, widths in [0, 31]), but the returned buffer is
+    dense — block ``i``'s stream occupies words ``[0, ceil(total/32))``
+    with zero padding after, which also makes the downstream per-batch
+    compaction a prefix slice instead of a second placement pass.
+    """
+    b, _ = bits.shape
+    inf = jnp.uint32(0xFFFFFFFF)
+    # append one zero-width entry: its segment-scan value is exactly the
+    # final partial word (the tail), at bitpos == total_bits
+    v = jnp.concatenate([bits, jnp.zeros((b, 1), _U32)], axis=1)
+    nb = jnp.concatenate([nbits, jnp.zeros((b, 1), _I32)], axis=1)
+
+    csum = jnp.cumsum(nb, axis=1)
+    bitpos = base_bits + csum - nb  # [B, E+1]
+    total_bits = base_bits + csum[:, -1]
+    cnt = (bitpos & 31).astype(_U32)
+    w = (bitpos >> 5).astype(_U32)
+    lo = v << cnt
+    hi = (v >> (jnp.uint32(31) - cnt)) >> jnp.uint32(1)
+    endw = ((bitpos + nb) >> 5).astype(_U32)
+    flush = endw > w  # this entry completes word w
+
+    start = jnp.concatenate([jnp.ones((b, 1), jnp.bool_), flush[:, :-1]], axis=1)
+    hi_prev = jnp.concatenate([jnp.zeros((b, 1), _U32), hi[:, :-1]], axis=1)
+    c = lo | jnp.where(start, hi_prev, jnp.uint32(0))
+
+    def seg_or(a, bb):
+        v1, r1 = a
+        v2, r2 = bb
+        return jnp.where(r2, v2, v1 | v2), jnp.logical_or(r1, r2)
+
+    cval, _ = jax.lax.associative_scan(seg_or, (c, start), axis=1)
+
+    key = jnp.where(flush, w, inf)
+    tail_valid = (total_bits & 31) > 0
+    key = key.at[:, -1].set(jnp.where(tail_valid, w[:, -1], inf))
+
+    payload = cval
+    bw = base_bits // 32  # static header region: dummy zero words
+    if bw:
+        dk = jnp.broadcast_to(jnp.arange(bw, dtype=_U32)[None, :], (b, bw))
+        key = jnp.concatenate([dk, key], axis=1)
+        payload = jnp.concatenate([jnp.zeros((b, bw), _U32), payload], axis=1)
+    k = key.shape[1]
+    if k < out_words:
+        pad = out_words - k
+        key = jnp.concatenate([key, jnp.full((b, pad), inf, _U32)], axis=1)
+        payload = jnp.concatenate([payload, jnp.zeros((b, pad), _U32)], axis=1)
+
+    _, sorted_vals = jax.lax.sort((key, payload), dimension=1, num_keys=1)
+    words = sorted_vals[:, :out_words]
+    n_words = (total_bits + 31) >> 5
+    keep = jnp.arange(out_words, dtype=_I32)[None, :] < n_words[:, None]
+    return jnp.where(keep, words, jnp.uint32(0)), total_bits
+
+
 def encode_deflate_blocks(
     cfg: DeflateEncodeConfig,
     data_u8: jax.Array,
@@ -499,14 +586,19 @@ def encode_deflate_blocks(
 
     hdr_bits = 8 * cfg.header_len
 
-    if cfg.pack == "group8":
+    if cfg.pack in ("group8", "sortscan"):
         # one unified entry stream [deflate hdr (+dyn tables)][tokens][EOB]
         # packed by the grouped merge (entries obey: bits < 2**nbits)
         all_bits = jnp.concatenate([hfield_bits.astype(_U32), bits.astype(_U32)], axis=1)
         all_n = jnp.concatenate([hfield_n, nbits], axis=1)
-        words, total_bits = pack_entries_grouped(
-            all_bits, all_n, hdr_bits, cfg.out_words, placement=cfg.placement
-        )
+        if cfg.pack == "sortscan":
+            words, total_bits = pack_entries_sortscan(
+                all_bits, all_n, hdr_bits, cfg.out_words
+            )
+        else:
+            words, total_bits = pack_entries_grouped(
+                all_bits, all_n, hdr_bits, cfg.out_words, placement=cfg.placement
+            )
     else:
         # bit offsets: [member header][deflate block header (+dyn tables)][tokens]
         hcsum = jnp.cumsum(hfield_n, axis=1)
