@@ -38,17 +38,20 @@ import numpy as np
 
 TARGET_GBPS = 5.0
 
-# ladder stages: (batch, block_size, reps) in ascending cost; the last
-# stages are the flagship configs (reference benches 128 KiB blocks at
-# level 3, benches/bench.rs:120-150). 64x128KiB sits last because its
-# compile has twice crashed the remote XLA service ("Unexpected EOF"
-# after ~1 h, scripts/prime_r3.log) — every earlier stage is banked
-# before attempting it.
+# ladder stages: (batch, block_size, reps, staged) in ascending cost; the
+# last stages are the flagship configs (reference benches 128 KiB blocks
+# at level 3, benches/bench.rs:120-150). The 64x128KiB MONOLITH twice
+# crashed the remote XLA service ("Unexpected EOF" after ~1 h,
+# scripts/prime_r3.log), so batches >= 64 run the STAGED encoder —
+# two separately-jitted programs (match | parse+emit) timed as the sum
+# of two per-stage chained loops (round-4 task 3). Every earlier
+# stage is banked before attempting the next.
 LADDER = [
-    (8, 32768, 4),
-    (16, 131072, 4),
-    (32, 131072, 8),
-    (64, 131072, 8),
+    (8, 32768, 4, False),
+    (16, 131072, 4, False),
+    (32, 131072, 8, False),
+    (64, 131072, 8, True),
+    (128, 131072, 8, True),
 ]
 
 
@@ -171,14 +174,154 @@ def run_stage(batch: int, block_size: int, reps: int, level: int) -> dict:
     }
 
 
+def run_stage_staged(batch: int, block_size: int, reps: int, level: int) -> dict:
+    """Time the 2-program staged encoder (match | parse+emit): each
+    stage gets its own chained fori_loop (digest dependency + scalar
+    fetch); the reported per-batch time is the SUM of stage times — the
+    honest serial cost, denying cross-stage overlap while keeping the
+    measured intra-program overlap of parse+emit+pack
+    (scripts/profile_r4_b16.log). Bounds compile-program size so
+    batch >= 64 becomes reachable (scripts/prime_r3.log)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from gzp_tpu.ops.deflate_kernel import (
+        DeflateEncodeConfig,
+        emit_stage,
+        match_stage,
+        parse_stage,
+    )
+
+    cfg = DeflateEncodeConfig.for_level(block_size, "mgzip", "none", level)
+    batch_bytes = batch * block_size
+    data = np.frombuffer(make_corpus(batch_bytes), np.uint8).reshape(batch, block_size)
+    lengths = np.full((batch,), block_size, np.int32)
+    finals = np.zeros((batch,), bool)
+
+    dd = jax.device_put(data)
+    dl = jax.device_put(lengths)
+    df = jax.device_put(finals)
+    jax.block_until_ready(dd)
+
+    def digest(x):
+        v = x.astype(jnp.uint32)
+        return jnp.sum(v ^ (v >> 7), dtype=jnp.uint32)
+
+    @jax.jit
+    def chain1(d):
+        def body(_, carry):
+            salt, x, e, ml, md = carry
+            x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
+            e, ml, md = match_stage(cfg, x, dl)
+            return digest(ml) ^ digest(md) ^ salt, x, e, ml, md
+
+        z = jnp.zeros_like(dd)
+        zi = jnp.zeros(dd.shape, jnp.int32)
+        salt, _, e, ml, md = jax.lax.fori_loop(
+            0, reps, body, (jnp.uint32(0), d, z, zi, zi)
+        )
+        return salt, e, ml, md
+
+    @jax.jit
+    def chain2(d, ml, md):
+        # dict_size == 0 here, so ext IS the data; the perturbed byte
+        # must reach both the literal stream and the member CRC or the
+        # validation decode would fail its CRC check
+        def body(_, carry):
+            salt, x, out, out_len = carry
+            x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
+            # tie the parse to the carried salt or XLA hoists the whole
+            # loop-invariant parse out of the timing loop (the perturbed
+            # value is < min_emit so the parse result is unchanged)
+            ml2 = ml.at[0, 0].set(ml[0, 0] ^ (salt & 1).astype(jnp.int32))
+            marked, l = parse_stage(cfg, ml2, dl)
+            res = emit_stage(cfg, x, x, dl, df, marked, l, md)
+            tot = jnp.sum(res["out_len"]).astype(jnp.uint32)
+            return tot ^ res["check"][0] ^ salt, x, res["out"], res["out_len"]
+
+        out0 = jnp.zeros((batch, cfg.out_bytes), jnp.uint8)
+        len0 = jnp.zeros((batch,), jnp.int32)
+        salt, _, out, out_len = jax.lax.fori_loop(
+            0, reps, body, (jnp.uint32(0), d, out0, len0)
+        )
+        return salt, out, out_len
+
+    times = []
+    compile_total = 0.0
+
+    t0 = time.perf_counter()
+    r1 = chain1(dd)
+    int(r1[0])
+    compile_total += time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(chain1(dd)[0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    times.append(best)
+    _, _ext, ml, md = chain1(dd)
+
+    t0 = time.perf_counter()
+    r2 = chain2(dd, ml, md)
+    int(r2[0])
+    compile_total += time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(chain2(dd, ml, md)[0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    times.append(best)
+    _, res_out, res_len = chain2(dd, ml, md)
+
+    per_batch = sum(times)
+    gbps = batch_bytes / per_batch / 1e9
+
+    # validation: block 0 byte 0 carries the chain perturbation; skip it
+    out = np.asarray(res_out)
+    out_len = np.asarray(res_len)
+    total_out = int(out_len.sum())
+    for i in range(0, batch, max(batch // 8, 1)):
+        plain = _gzip.decompress(out[i, : out_len[i]].tobytes())
+        want = data[i].tobytes()
+        if i == 0:
+            plain, want = plain[1:], want[1:]
+        assert plain == want, f"staged bench validation failed at block {i}"
+
+    zlib_size = sum(len(_zlib.compress(data[i].tobytes(), 3)) for i in range(batch))
+
+    return {
+        "metric": "mgzip_encode_device_throughput_per_chip",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / TARGET_GBPS, 4),
+        "extra": {
+            "batch_blocks": batch,
+            "block_size": block_size,
+            "level": level,
+            "per_batch_ms": round(per_batch * 1e3, 2),
+            "stage_ms": [round(t * 1e3, 2) for t in times],
+            "compile_s": round(compile_total, 1),
+            "compression_ratio": round(batch_bytes / total_out, 3),
+            "size_vs_zlib3": round(total_out / zlib_size, 3),
+            "timing": "2-stage pipeline (match | parse+emit), per-stage chained fori_loop, summed",
+        },
+    }
+
+
 def worker(level: int) -> None:
     """Climb the ladder, printing one JSON line per completed stage."""
     from gzp_tpu.utils.testing import enable_compilation_cache
 
     enable_compilation_cache()
-    for batch, block_size, reps in LADDER:
+    for batch, block_size, reps, staged in LADDER:
         try:
-            res = run_stage(batch, block_size, reps, level)
+            if staged:
+                res = run_stage_staged(batch, block_size, reps, level)
+            else:
+                res = run_stage(batch, block_size, reps, level)
         except Exception as e:  # pragma: no cover - stage failure path
             print(
                 json.dumps({"stage_error": f"{batch}x{block_size}: {e}"[:500]}),
@@ -278,13 +421,14 @@ def main() -> None:
         worker(int(args[1]) if len(args) > 1 else 3)
         return
     if args and args[0] == "--stage":
-        # direct single-stage run: bench.py --stage BATCH BLOCK REPS [LEVEL]
+        # direct single-stage run: bench.py --stage BATCH BLOCK REPS [LEVEL] [staged]
         from gzp_tpu.utils.testing import enable_compilation_cache
 
         enable_compilation_cache()
         b, bs, reps = int(args[1]), int(args[2]), int(args[3])
         level = int(args[4]) if len(args) > 4 else 3
-        print(json.dumps(run_stage(b, bs, reps, level)))
+        fn = run_stage_staged if (len(args) > 5 and args[5] == "staged") else run_stage
+        print(json.dumps(fn(b, bs, reps, level)))
         return
     level = int(args[0]) if args else 3
     supervise(level)

@@ -85,9 +85,13 @@ class DeflateEncodeConfig:
     dynamic: bool = True  # per-block dynamic Huffman (on-device)
     payload_words: int = 3  # suffix context carried through the sort
     lags: int = 2  # sorted-neighbor candidates examined
-    # bit packer: 'group8' = in-register 8-entry pre-merge + 9-word-window
+    # bit packer: 'sortscan' = scatter-free segmented-scan + placement
+    # sort (v4 default: equal monolith speed at B=16 — 11.88 vs 11.77
+    # ns/B, scripts/profile_r4_b16.log — but dense per-block output and
+    # a smaller compiled program, which unlocks batch >= 64);
+    # 'group8' = in-register 8-entry pre-merge + 9-word-window scatter
     # placement (v3); 'v2' = one scatter-add pair per entry
-    pack: str = "group8"
+    pack: str = "sortscan"
     placement: str = "unroll"  # group8 window placement: 'unroll' | 'window'
     # RLE-compress the dynamic table description (CL syms 16/17/18 + a
     # real CL Huffman) instead of the constant 4-bit layout; saves
@@ -98,6 +102,15 @@ class DeflateEncodeConfig:
     # add a 3-byte-hash candidate pass (pure 3-byte matches, zlib parity
     # at high levels; two extra sorts)
     hash3: bool = False
+    # deflate blocks per gzp block: S > 1 re-derives Huffman tables every
+    # block_len/S bytes, zlib's behavior (zlib starts a new deflate block
+    # every ~16K symbols, deflate.c lit_bufsize) — local tables recover
+    # most of the high-level ratio gap at ~50 B/sub-block header cost.
+    # Matches may CROSS sub-block boundaries (any distance < 32K is legal
+    # regardless of deflate block framing) but may not START on the last
+    # position before one (the distance half would land after the
+    # inserted EOB+header), so those S-1 positions are forced literal.
+    subblocks: int = 1
     # parse algorithm: 'scan' = windowless δ-state function composition
     # (default since round 3: measured 3.1x faster end-to-end on TPU —
     # 11.8 vs 37.3 ns/B at 16x128KiB — AND better ratio, because
@@ -126,10 +139,18 @@ class DeflateEncodeConfig:
             pw, lg, win, lazy, h3 = 7, 6, 512, True, False
         else:
             pw, lg, win, lazy, h3 = 7, 8, 1024, True, False
+        # levels >= 6: local Huffman tables every ~16-32 KiB like zlib
+        sub = 1
+        if level >= 6:
+            for cand in (8, 4, 2):
+                if block_len % cand == 0 and block_len // cand >= 16384:
+                    sub = cand
+                    break
         return cls(
             block_len=block_len, mode=mode, checksum=checksum, level=level,
             window=win, lazy=lazy, dynamic=True,
             payload_words=pw, lags=lg, dict_size=dict_size, hash3=h3,
+            subblocks=sub,
         )
 
     @property
@@ -144,8 +165,14 @@ class DeflateEncodeConfig:
     def out_words(self) -> int:
         # worst case: all-literal block at 9 bits/byte (the dynamic table
         # is only chosen when it beats fixed, so fixed bounds token bits)
-        # + dynamic header + trailers
-        max_bits = 8 * self.header_len + 1344 + 9 * (self.block_len + 1) + 7 + 48
+        # + one dynamic header and EOB per sub-block + trailers
+        max_bits = (
+            8 * self.header_len
+            + self.subblocks * (1344 + 9)
+            + 9 * self.block_len
+            + 7
+            + 48
+        )
         # slack covers the byte footer region and the grouped packer's
         # 9-word placement windows (trailing zero-entry groups)
         return (max_bits + 31) // 32 + 10
@@ -233,37 +260,31 @@ def compute_symbols(data_ext, marked, l, dist):
     return sym, leb, lextra, dsym, deb, dextra, is_match
 
 
-def emit_entries(
-    marked, is_match, sym, leb, lextra, dsym, deb, dextra,
+def emit_token_entries(
+    marked, prev_match, sym, leb, lextra, dsym_s, deb_s, dextra_s,
     lit_codes, lit_lens, dist_codes, dist_lens,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-position bit entries (one <=31-bit entry per position + EOB).
 
     Position ``i`` emits its token's literal-or-length half; a match's
-    distance half is stashed at position ``i+1`` (always covered, since
-    matches are >= 3 long) so the whole stream is ONE entry per position —
-    halving the dominant scatter-add. Returns (bits, nbits) of shape
-    ``[B, M+1]`` (last column = end-of-block symbol).
+    distance half arrives PRE-STASHED at position ``i+1`` (``prev_match``
+    / ``dsym_s`` / ``deb_s`` / ``dextra_s`` are the caller's shift of the
+    match-side fields — done at full-block scope so sub-block row splits
+    can't lose a boundary-crossing stash). ``i+1`` is always covered
+    since matches are >= 3 long, so the stream is ONE entry per position.
+    Returns (bits, nbits) of shape ``[R, M+1]`` (last column =
+    end-of-block symbol).
     """
-    b, m = marked.shape
-
     code, nb = _onehot_lookup2(sym, lit_codes, lit_lens, huffman.NLIT)
     even_bits = code | (lextra.astype(_U32) << nb.astype(_U32))
     even_n = jnp.where(marked, nb + leb, 0)
 
-    dcode, dnb = _onehot_lookup2(dsym, dist_codes, dist_lens, huffman.NDIST)
-    odd_bits = dcode | (dextra.astype(_U32) << dnb.astype(_U32))
-    odd_n = jnp.where(is_match, dnb + deb, 0)
+    dcode, dnb = _onehot_lookup2(dsym_s, dist_codes, dist_lens, huffman.NDIST)
+    odd_bits = dcode | (dextra_s.astype(_U32) << dnb.astype(_U32))
+    odd_n = dnb + deb_s
 
-    # stash the distance half at i+1 (covered by the match)
-    prev_match = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.bool_), is_match[:, :-1]], axis=1
-    )
-    odd_bits_s = jnp.concatenate([jnp.zeros((b, 1), _U32), odd_bits[:, :-1]], axis=1)
-    odd_n_s = jnp.concatenate([jnp.zeros((b, 1), _I32), odd_n[:, :-1]], axis=1)
-
-    bits = jnp.where(marked, even_bits, jnp.where(prev_match, odd_bits_s, 0))
-    nbits = jnp.where(marked, even_n, jnp.where(prev_match, odd_n_s, 0))
+    bits = jnp.where(marked, even_bits, jnp.where(prev_match, odd_bits, 0))
+    nbits = jnp.where(marked, even_n, jnp.where(prev_match, odd_n, 0))
 
     # end-of-block symbol as the final column
     eob_bits = lit_codes[:, 256:257].astype(_U32)
@@ -271,6 +292,25 @@ def emit_entries(
     bits = jnp.concatenate([bits, eob_bits], axis=1)
     nbits = jnp.concatenate([nbits, eob_n], axis=1)
     return bits, nbits
+
+
+def emit_entries(
+    marked, is_match, sym, leb, lextra, dsym, deb, dextra,
+    lit_codes, lit_lens, dist_codes, dist_lens,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-table variant of :func:`emit_token_entries`: stashes the
+    distance fields at ``i+1`` itself (kept for the v2 pack path and the
+    stage profilers)."""
+    b = marked.shape[0]
+
+    def stash(x, fill=0):
+        return jnp.concatenate([jnp.full((b, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    return emit_token_entries(
+        marked, stash(is_match, False), sym, leb, lextra,
+        stash(dsym), stash(deb), stash(dextra),
+        lit_codes, lit_lens, dist_codes, dist_lens,
+    )
 
 
 def _scatter_bits(words, rows, off, value_u32, max_sig_bits: int):
@@ -488,6 +528,63 @@ def pack_entries_sortscan(
     return jnp.where(keep, words, jnp.uint32(0)), total_bits
 
 
+def match_stage(
+    cfg: DeflateEncodeConfig,
+    data_u8: jax.Array,
+    lengths: jax.Array,
+    halo: jax.Array | None = None,
+    dict_lens: jax.Array | None = None,
+):
+    """Stage 1 of the encoder: halo concat + LZ77 match finding.
+
+    Returns ``(ext, match_len, match_dist)``; ``ext`` is the halo-extended
+    byte view the later stages index into.
+    """
+    base = cfg.dict_size
+    if base:
+        assert halo is not None and dict_lens is not None
+        ext = jnp.concatenate([halo, data_u8], axis=1)
+        halo_start = (base - dict_lens).astype(_I32)
+    else:
+        ext = data_u8
+        halo_start = None
+    match_len, match_dist = lz.best_matches(
+        ext,
+        lengths,
+        max_dist=MAX_DIST,
+        max_match=MAX_MATCH,
+        min_emit=MIN_MATCH,
+        base=base,
+        halo_start=halo_start,
+        lazy=cfg.lazy,
+        payload_words=cfg.payload_words,
+        lags=cfg.lags,
+        hash3=cfg.hash3,
+    )
+    return ext, match_len, match_dist
+
+
+def parse_stage(cfg: DeflateEncodeConfig, match_len: jax.Array, lengths: jax.Array):
+    """Stage 2: greedy parse of the match field into token starts."""
+    if cfg.subblocks > 1:
+        # a match may not START on the last position before a sub-block
+        # boundary: its distance half (stashed at i+1) would land after
+        # the next sub-block's EOB+header in the entry stream
+        ns = cfg.block_len // cfg.subblocks
+        idx = np.array(
+            [cfg.dict_size + (s + 1) * ns - 1 for s in range(cfg.subblocks - 1)]
+        )
+        match_len = match_len.at[:, idx].set(0)
+    if cfg.parse == "scan":
+        return lz.parse_marks_scan(
+            match_len, lengths, min_emit=MIN_MATCH, base=cfg.dict_size,
+        )
+    return lz.parse_marks(
+        match_len, lengths, window=cfg.window, min_emit=MIN_MATCH,
+        base=cfg.dict_size,
+    )
+
+
 def encode_deflate_blocks(
     cfg: DeflateEncodeConfig,
     data_u8: jax.Array,
@@ -508,43 +605,39 @@ def encode_deflate_blocks(
     each block's preset dictionary right-aligned (the previous block's
     trailing bytes) and ``dict_lens`` the valid halo byte counts; emitted
     match distances may reach into the halo — the 32 KiB cross-block
-    dictionary carry (reference src/par/compress.rs:413-423).
+    dictionary carry (reference src/par/compress.rs:417-423).
+    """
+    ext, match_len, match_dist = match_stage(cfg, data_u8, lengths, halo, dict_lens)
+    marked, l = parse_stage(cfg, match_len, lengths)
+    return emit_stage(cfg, data_u8, ext, lengths, is_final, marked, l, match_dist)
+
+
+def emit_stage(
+    cfg: DeflateEncodeConfig,
+    data_u8: jax.Array,
+    ext: jax.Array,
+    lengths: jax.Array,
+    is_final: jax.Array,
+    marked: jax.Array,
+    l: jax.Array,
+    match_dist: jax.Array,
+):
+    """Stage 3: symbols, Huffman tables, entry emission, bit packing and
+    member framing — everything downstream of the parse.
+
+    With ``cfg.subblocks = S > 1`` every gzp block is emitted as S
+    deflate blocks with their own dynamic Huffman tables (zlib re-derives
+    tables every ~16K symbols; one table per 128 KiB costs several
+    percent at high levels). Match finding and parsing stay full-block:
+    matches freely cross sub-block boundaries — only their distance
+    halves must not straddle the EOB+header insertion point, which
+    :func:`parse_stage` guarantees by forbidding match starts on the
+    last position before each boundary.
     """
     b, n = data_u8.shape
     assert n == cfg.block_len
     rows = jnp.arange(b, dtype=_I32)[:, None]
 
-    min_emit = MIN_MATCH
-    base = cfg.dict_size
-    if base:
-        assert halo is not None and dict_lens is not None
-        ext = jnp.concatenate([halo, data_u8], axis=1)
-        halo_start = (base - dict_lens).astype(_I32)
-    else:
-        ext = data_u8
-        halo_start = None
-
-    match_len, match_dist = lz.best_matches(
-        ext,
-        lengths,
-        max_dist=MAX_DIST,
-        max_match=MAX_MATCH,
-        min_emit=min_emit,
-        base=base,
-        halo_start=halo_start,
-        lazy=cfg.lazy,
-        payload_words=cfg.payload_words,
-        lags=cfg.lags,
-        hash3=cfg.hash3,
-    )
-    if cfg.parse == "scan":
-        marked, l = lz.parse_marks_scan(
-            match_len, lengths, min_emit=min_emit, base=base,
-        )
-    else:
-        marked, l = lz.parse_marks(
-            match_len, lengths, window=cfg.window, min_emit=min_emit, base=base,
-        )
     sym, leb, lextra, dsym, deb, dextra, is_match = compute_symbols(
         ext, marked, l, match_dist
     )
@@ -553,9 +646,38 @@ def encode_deflate_blocks(
     member = cfg.mode != "stream"
     final = jnp.ones((b,), jnp.bool_) if member else is_final
 
+    # stash each match's distance half at i+1 at FULL-block scope (the
+    # shift must see across sub-block boundaries), then split rows into
+    # S sub-blocks; the halo region is sliced off (its entries were all
+    # zero-width anyway)
+    s_count = cfg.subblocks
+    base = cfg.dict_size
+    ns = n // s_count
+
+    def _stash(x, fill=0):
+        return jnp.concatenate(
+            [jnp.full((b, 1), fill, x.dtype), x[:, :-1]], axis=1
+        )
+
+    prev_match = _stash(is_match, False)
+    dsym_s, deb_s, dextra_s = _stash(dsym), _stash(deb), _stash(dextra)
+
+    def _rows(x):
+        return x[:, base:].reshape(b * s_count, ns)
+
+    marked_r = _rows(marked)
+    prev_match_r = _rows(prev_match)
+    sym_r, leb_r, lextra_r = _rows(sym), _rows(leb), _rows(lextra)
+    dsym_r, deb_r, dextra_r = _rows(dsym_s), _rows(deb_s), _rows(dextra_s)
+    final_r = jnp.broadcast_to(
+        final[:, None]
+        & (jnp.arange(s_count, dtype=_I32) == s_count - 1)[None, :],
+        (b, s_count),
+    ).reshape(b * s_count)
+
     if cfg.dynamic:
         lit_freq, dist_freq = huffman.position_histograms(
-            sym, dsym, marked, is_match
+            sym_r, dsym_r, marked_r, prev_match_r
         )
         (
             lit_codes,
@@ -571,26 +693,31 @@ def encode_deflate_blocks(
             if cfg.rle_header
             else huffman.dynamic_header_fields
         )
-        hfield_bits, hfield_n = header_fields(dlit_lens, ddist_lens, final, use_dyn)
+        hfield_bits, hfield_n = header_fields(dlit_lens, ddist_lens, final_r, use_dyn)
     else:
-        lit_codes, lit_lens, dist_codes, dist_lens = huffman.fixed_table_arrays(b)
+        lit_codes, lit_lens, dist_codes, dist_lens = huffman.fixed_table_arrays(
+            b * s_count
+        )
         lit_codes = lit_codes.astype(_U32)
         dist_codes = dist_codes.astype(_U32)
-        hfield_bits = (jnp.uint32(2) | final.astype(_U32))[:, None]
-        hfield_n = jnp.full((b, 1), 3, _I32)
+        hfield_bits = (jnp.uint32(2) | final_r.astype(_U32))[:, None]
+        hfield_n = jnp.full((b * s_count, 1), 3, _I32)
 
-    bits, nbits = emit_entries(
-        marked, is_match, sym, leb, lextra, dsym, deb, dextra,
+    bits, nbits = emit_token_entries(
+        marked_r, prev_match_r, sym_r, leb_r, lextra_r, dsym_r, deb_r, dextra_r,
         lit_codes, lit_lens, dist_codes, dist_lens,
     )
 
     hdr_bits = 8 * cfg.header_len
 
     if cfg.pack in ("group8", "sortscan"):
-        # one unified entry stream [deflate hdr (+dyn tables)][tokens][EOB]
-        # packed by the grouped merge (entries obey: bits < 2**nbits)
-        all_bits = jnp.concatenate([hfield_bits.astype(_U32), bits.astype(_U32)], axis=1)
-        all_n = jnp.concatenate([hfield_n, nbits], axis=1)
+        # per sub-block: [deflate hdr (+dyn tables)][tokens][EOB], then
+        # sub-blocks concatenate in order within each gzp block
+        # (entries obey: bits < 2**nbits)
+        sub_bits = jnp.concatenate([hfield_bits.astype(_U32), bits.astype(_U32)], axis=1)
+        sub_n = jnp.concatenate([hfield_n, nbits], axis=1)
+        all_bits = sub_bits.reshape(b, -1)
+        all_n = sub_n.reshape(b, -1)
         if cfg.pack == "sortscan":
             words, total_bits = pack_entries_sortscan(
                 all_bits, all_n, hdr_bits, cfg.out_words
@@ -600,6 +727,7 @@ def encode_deflate_blocks(
                 all_bits, all_n, hdr_bits, cfg.out_words, placement=cfg.placement
             )
     else:
+        assert s_count == 1, "pack='v2' supports subblocks=1 only"
         # bit offsets: [member header][deflate block header (+dyn tables)][tokens]
         hcsum = jnp.cumsum(hfield_n, axis=1)
         hoff = hdr_bits + (hcsum - hfield_n)
@@ -684,7 +812,9 @@ def encode_deflate_blocks(
     return {"out": by, "out_len": out_len.astype(_I32), "check": chk, "ntok": ntok}
 
 
-def compact_outputs(out: jax.Array, out_len: jax.Array) -> jax.Array:
+def compact_outputs(
+    out: jax.Array, out_len: jax.Array, placement: str = "sort"
+) -> jax.Array:
     """Pack per-block framed outputs end-to-end into one flat buffer.
 
     ``out`` is ``[B, M]`` uint8 with ``out_len[i]`` valid bytes per row;
@@ -694,11 +824,15 @@ def compact_outputs(out: jax.Array, out_len: jax.Array) -> jax.Array:
     ``flat[:sum(out_len)]`` only (round-1 weakness #3 — the full padded
     d2h per batch, VERDICT.md).
 
-    Round 3: word-level placement — each row is masked past ``out_len``,
-    byte-rotated by its destination's word phase (elementwise, select
-    over 4 shifts), and scattered as u32 words: 4x fewer scatter
-    elements than the byte-level scatter, and adjacent rows sharing a
-    boundary word combine by add over disjoint byte lanes.
+    Word-level: each row is masked past ``out_len``, byte-rotated by its
+    destination's word phase (elementwise, select over 4 shifts), and
+    placed as u32 words. ``placement='scatter'`` is the round-3 path
+    (one scatter-add over all row words, ~9 ns/scattered element,
+    measured 6.9 ns/input-byte at B=16 — scripts/profile_r4_b16.log);
+    ``placement='sort'`` (default, round 4) sorts (global word index,
+    word) pairs instead — the sorted prefix is the flat stream — and
+    scatter-adds only the B first-words that share a boundary word with
+    the previous row (bit-disjoint by construction).
     """
     b, m = out.shape
     assert m % 4 == 0
@@ -724,21 +858,96 @@ def compact_outputs(out: jax.Array, out_len: jax.Array) -> jax.Array:
     )
     roww = jnp.concatenate([shifted, carry], axis=1)  # [B, MW+1]
 
-    # scatter words at each row's destination word index
     nw = mw * b
     wstart = (starts >> 2)[:, None]
     widx = wstart + jnp.arange(mw + 1, dtype=_I32)[None, :]
-    # words wholly past this row's content contribute nothing; drop them
-    # so boundary words shared with the next row aren't double-padded
-    row_words = (((starts & 3) + out_len + 3) >> 2)[:, None]
-    widx = jnp.where(jnp.arange(mw + 1, dtype=_I32)[None, :] < row_words, widx, nw)
-    flatw = jnp.zeros((nw,), _U32)
-    flatw = flatw.at[widx.reshape(-1)].add(roww.reshape(-1), mode="drop")
+    # an empty row must claim ZERO words (the +3 rounding would claim
+    # one): harmless under scatter-add, a duplicate-key corruption under
+    # sort placement
+    row_words = jnp.where(
+        out_len > 0, ((starts & 3) + out_len + 3) >> 2, 0
+    )[:, None]
+    in_row = jnp.arange(mw + 1, dtype=_I32)[None, :] < row_words
+
+    if placement == "scatter":
+        widx = jnp.where(in_row, widx, nw)
+        flatw = jnp.zeros((nw,), _U32)
+        flatw = flatw.at[widx.reshape(-1)].add(roww.reshape(-1), mode="drop")
+    else:
+        # a row whose start has a byte phase shares its FIRST word with
+        # the previous row's last; keep exactly one owner per global
+        # word in the sort and add the shared first-words afterwards
+        # (disjoint byte lanes, <= B scattered elements)
+        shared_first = ((starts & 3) > 0) & (out_len > 0)  # [B]
+        col0 = jnp.arange(mw + 1, dtype=_I32)[None, :] == 0
+        owned = in_row & ~(col0 & shared_first[:, None])
+        key = jnp.where(owned, widx.astype(_U32), jnp.uint32(0xFFFFFFFF))
+        _, sorted_w = jax.lax.sort(
+            (key.reshape(-1), roww.reshape(-1)), dimension=0, num_keys=1
+        )
+        flatw = sorted_w[:nw]
+        total_words = (jnp.sum(out_len) + 3) >> 2
+        flatw = jnp.where(
+            jnp.arange(nw, dtype=_I32) < total_words, flatw, jnp.uint32(0)
+        )
+        fidx = jnp.where(shared_first, starts >> 2, nw)
+        flatw = flatw.at[fidx].add(
+            jnp.where(shared_first, roww[:, 0], jnp.uint32(0)), mode="drop"
+        )
 
     return jnp.stack(
         [flatw & 0xFF, (flatw >> 8) & 0xFF, (flatw >> 16) & 0xFF, (flatw >> 24) & 0xFF],
         axis=-1,
     ).reshape(b * m).astype(_U8)
+
+
+@functools.lru_cache(maxsize=32)
+def get_staged_encoder(cfg: DeflateEncodeConfig, compact: bool = False):
+    """Encoder as separately-jitted programs chained through
+    device-resident arrays.
+
+    Bounds remote-compile program size: the 64×128 KiB monolith crashed
+    the compile service twice ("Unexpected EOF" after ~1 h,
+    scripts/prime_r3.log), while each stage alone compiles in minutes.
+    The only cost vs :func:`get_encoder` is lost cross-stage fusion; all
+    intermediates stay on device.
+
+    The split is TWO programs — match | parse+emit — not three: the TPU
+    runs one program at a time, so intra-program ILP is the only overlap
+    available and the measured monolith hides the whole pack stage
+    behind match+parse+emit (scripts/profile_r4_b16.log); keeping
+    parse+emit+pack together preserves most of that.
+    """
+
+    if cfg.dict_size:
+
+        @jax.jit
+        def s1(data, lengths, halo, dict_lens):
+            return match_stage(cfg, data, lengths, halo, dict_lens)
+
+    else:
+
+        @jax.jit
+        def s1(data, lengths):
+            return match_stage(cfg, data, lengths)
+
+    @jax.jit
+    def s2(data, ext, lengths, finals, ml, md):
+        marked, l = parse_stage(cfg, ml, lengths)
+        res = emit_stage(cfg, data, ext, lengths, finals, marked, l, md)
+        if compact:
+            res["flat"] = compact_outputs(res["out"], res["out_len"])
+        return res
+
+    def run(data_u8, lengths, is_final, halo=None, dict_lens=None):
+        if cfg.dict_size:
+            ext, ml, md = s1(data_u8, lengths, halo, dict_lens)
+        else:
+            ext, ml, md = s1(data_u8, lengths)
+        return s2(data_u8, ext, lengths, is_final, ml, md)
+
+    run.stages = (s1, s2)
+    return run
 
 
 @functools.lru_cache(maxsize=32)

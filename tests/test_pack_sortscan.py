@@ -1,0 +1,156 @@
+"""The round-4 sortscan bit packer and the staged encoder: bit-exactness
+vs the grouped packer, oracle decode, and edge shapes.
+
+The packer contract (gzp_tpu/ops/deflate_kernel.py:pack_entries_sortscan)
+mirrors the reference's bit-writer inside zlib-ng/libdeflate (reference
+Cargo.toml:28-52) but is scatter-free; these tests pin the equivalence so
+either packer can back any format.
+"""
+
+import dataclasses
+import gzip
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gzp_tpu.ops.deflate_kernel import (
+    DeflateEncodeConfig,
+    encode_deflate_blocks,
+    get_staged_encoder,
+    pack_entries_grouped,
+    pack_entries_sortscan,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("base", [0, 144, 160])
+def test_packer_equivalence_random(seed, base):
+    rng = np.random.default_rng(seed)
+    b, e = int(rng.integers(1, 5)), int(rng.integers(1, 500))
+    nb = rng.integers(0, 32, (b, e)).astype(np.int32)
+    nb = np.where(rng.random((b, e)) < 0.6, 0, nb)  # sparse like real emission
+    bits = rng.integers(0, 1 << 31, (b, e)).astype(np.uint32) & (
+        (np.uint32(1) << nb.astype(np.uint32)) - 1
+    )
+    out_words = (base + 31 * e + 31) // 32 + 12
+    w1, t1 = pack_entries_grouped(jnp.asarray(bits), jnp.asarray(nb), base, out_words)
+    w2, t2 = pack_entries_sortscan(jnp.asarray(bits), jnp.asarray(nb), base, out_words)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+@pytest.mark.parametrize(
+    "nb_case",
+    [
+        np.zeros((2, 5), np.int32),  # all zero-width
+        np.full((1, 1), 31, np.int32),  # single max-width entry
+        np.array([[16, 16, 16, 16]], np.int32),  # exact word boundaries
+        np.array([[31, 31, 31, 31, 2]], np.int32),  # every entry crosses
+    ],
+)
+def test_packer_equivalence_edges(nb_case):
+    bits = ((np.uint32(1) << nb_case.astype(np.uint32)) - 1) & np.uint32(0x5A5A5A5A)
+    e = nb_case.shape[1]
+    ow = (31 * e + 64) // 32 + 12
+    w1, t1 = pack_entries_grouped(jnp.asarray(bits), jnp.asarray(nb_case), 0, ow)
+    w2, t2 = pack_entries_sortscan(jnp.asarray(bits), jnp.asarray(nb_case), 0, ow)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def _text(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"some deflate test text ", b"with repeated repeated phrases\n",
+             b"abcabcabcabc", b"\x00\x01\x02\x03 binary bits "]
+    out = b""
+    while len(out) < n:
+        out += words[rng.integers(0, len(words))]
+    return out[:n]
+
+
+@pytest.mark.parametrize("mode", ["mgzip", "bgzf", "stream"])
+def test_full_encoder_sortscan_oracle(mode):
+    n = 16384 if mode != "bgzf" else 32640
+    b = 3
+    data = np.frombuffer(_text(b * n, 3), np.uint8).reshape(b, n).copy()
+    lengths = np.full((b,), n, np.int32)
+    lengths[-1] = n - 11
+    data[-1, lengths[-1]:] = 0
+    finals = np.zeros((b,), bool)
+    finals[-1] = True
+    cfg = dataclasses.replace(
+        DeflateEncodeConfig.for_level(n, mode, "crc32", 3), pack="sortscan"
+    )
+    r = encode_deflate_blocks(
+        cfg, jnp.asarray(data), jnp.asarray(lengths), jnp.asarray(finals)
+    )
+    out, ol = np.asarray(r["out"]), np.asarray(r["out_len"])
+    if mode == "stream":
+        stream = b"".join(out[i, : ol[i]].tobytes() for i in range(b))
+        dec = zlib.decompressobj(-15).decompress(stream)
+        assert dec == b"".join(data[i, : lengths[i]].tobytes() for i in range(b))
+    else:
+        for i in range(b):
+            assert gzip.decompress(out[i, : ol[i]].tobytes()) == data[i, : lengths[i]].tobytes()
+
+
+def test_staged_encoder_matches_monolith():
+    n, b = 8192, 2
+    data = np.frombuffer(_text(b * n, 7), np.uint8).reshape(b, n)
+    lengths = np.full((b,), n, np.int32)
+    finals = np.zeros((b,), bool)
+    cfg = dataclasses.replace(
+        DeflateEncodeConfig.for_level(n, "mgzip", "none", 3), pack="sortscan"
+    )
+    r1 = encode_deflate_blocks(
+        cfg, jnp.asarray(data), jnp.asarray(lengths), jnp.asarray(finals)
+    )
+    run = get_staged_encoder(cfg)
+    r2 = run(jnp.asarray(data), jnp.asarray(lengths), jnp.asarray(finals))
+    np.testing.assert_array_equal(np.asarray(r1["out"]), np.asarray(r2["out"]))
+    np.testing.assert_array_equal(np.asarray(r1["out_len"]), np.asarray(r2["out_len"]))
+
+
+def test_staged_encoder_dict_carry():
+    """Halo path through the staged pipeline: distances reaching into the
+    previous block's tail must survive the stage boundaries (reference
+    src/par/compress.rs:417-423)."""
+    n, b = 4096, 2
+    blob = _text(2 * n, 9)
+    data = np.frombuffer(blob, np.uint8).reshape(b, n)
+    lengths = np.full((b,), n, np.int32)
+    finals = np.array([False, True])
+    dict_size = 1024
+    halo = np.zeros((b, dict_size), np.uint8)
+    halo[1] = data[0, -dict_size:]
+    dict_lens = np.array([0, dict_size], np.int32)
+    cfg = dataclasses.replace(
+        DeflateEncodeConfig.for_level(n, "stream", "crc32", 3, dict_size=dict_size),
+        pack="sortscan",
+    )
+    run = get_staged_encoder(cfg)
+    r = run(
+        jnp.asarray(data), jnp.asarray(lengths), jnp.asarray(finals),
+        jnp.asarray(halo), jnp.asarray(dict_lens),
+    )
+    out, ol = np.asarray(r["out"]), np.asarray(r["out_len"])
+    stream = b"".join(out[i, : ol[i]].tobytes() for i in range(b))
+    assert zlib.decompressobj(-15).decompress(stream) == blob
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_compact_sort_matches_scatter(seed):
+    from gzp_tpu.ops.deflate_kernel import compact_outputs
+
+    rng = np.random.default_rng(seed)
+    b, m = 5, 64
+    out = rng.integers(0, 256, (b, m)).astype(np.uint8)
+    out_len = rng.integers(0, m + 1, b).astype(np.int32)
+    out_len[1] = 0  # empty block chains the boundary word across rows
+    f1 = np.asarray(compact_outputs(jnp.asarray(out), jnp.asarray(out_len), "scatter"))
+    f2 = np.asarray(compact_outputs(jnp.asarray(out), jnp.asarray(out_len), "sort"))
+    np.testing.assert_array_equal(f1, f2)
+    want = b"".join(out[i, : out_len[i]].tobytes() for i in range(b))
+    assert f2[: len(want)].tobytes() == want
