@@ -311,11 +311,60 @@ def run_stage_staged(batch: int, block_size: int, reps: int, level: int) -> dict
     }
 
 
+def measure_decode() -> dict:
+    """Native parallel-decode throughput: ParDecompress over the C++
+    inflate pool — the documented decode path (ARCHITECTURE.md §3; the
+    reference's analog is libdeflate on N threads,
+    src/par/decompress.rs:161-187). Members are built host-side with
+    zlib so no device compile is involved."""
+    import io
+    import struct
+    import zlib as _zlib
+
+    from gzp_tpu import Mgzip, ParDecompress
+
+    block = 131072
+    total = 64 * block
+    corpus = make_corpus(total)
+    members = []
+    for off in range(0, total, block):
+        chunk = corpus[off : off + block]
+        co = _zlib.compressobj(3, wbits=-15)
+        payload = co.compress(chunk) + co.flush()
+        hdr = bytes(
+            [31, 139, 8, 4, 0, 0, 0, 0, 0, 255, 8, 0, ord("I"), ord("G"), 4, 0]
+        ) + struct.pack("<I", len(payload) + 28)
+        foot = struct.pack("<II", _zlib.crc32(chunk), len(chunk))
+        members.append(hdr + payload + foot)
+    blob = b"".join(members)
+    nt = os.cpu_count() or 2
+    best = float("inf")
+    for _ in range(3):
+        r = ParDecompress(Mgzip, io.BytesIO(blob), num_threads=nt)
+        t0 = time.perf_counter()
+        out = r.read()
+        dt = time.perf_counter() - t0
+        r.close()
+        assert out == corpus, "decode bench validation failed"
+        best = min(best, dt)
+    return {
+        "gbps_uncompressed": round(total / best / 1e9, 4),
+        "threads": nt,
+        "input_mb": round(len(blob) / 1e6, 1),
+    }
+
+
 def worker(level: int) -> None:
     """Climb the ladder, printing one JSON line per completed stage."""
     from gzp_tpu.utils.testing import enable_compilation_cache
 
     enable_compilation_cache()
+    # decode first: host-only, seconds, and must not be lost to a
+    # remote-compile stall later in the ladder
+    try:
+        print(json.dumps({"decode_info": measure_decode()}), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"stage_error": f"decode: {e}"[:300]}), flush=True)
     for batch, block_size, reps, staged in LADDER:
         try:
             if staged:
@@ -336,6 +385,7 @@ def supervise(level: int) -> None:
     print exactly one JSON line, even on SIGTERM or deadline."""
     deadline = time.time() + float(os.environ.get("GZP_BENCH_BUDGET_S", "3000"))
     best: dict | None = None
+    decode_info: dict | None = None
     errors: list[str] = []
 
     proc = subprocess.Popen(
@@ -398,6 +448,14 @@ def supervise(level: int) -> None:
             errors.append(res["stage_error"])
             _audit(errors, best)  # persist partial progress for post-mortems
             continue
+        if "decode_info" in res:
+            decode_info = res["decode_info"]
+            if best is not None:
+                best.setdefault("extra", {})["decode_native"] = decode_info
+            _audit(errors, best)
+            continue
+        if decode_info is not None:
+            res.setdefault("extra", {})["decode_native"] = decode_info
         if best is None or (
             res["extra"]["batch_blocks"] * res["extra"]["block_size"]
             >= best["extra"]["batch_blocks"] * best["extra"]["block_size"]

@@ -102,6 +102,12 @@ class DeflateEncodeConfig:
     # add a 3-byte-hash candidate pass (pure 3-byte matches, zlib parity
     # at high levels; two extra sorts)
     hash3: bool = False
+    # candidate discovery: 'hash' sorts (hash4, pos) and probes the
+    # ``lags`` nearest previous occurrences (recency order — zlib's
+    # chain walk truncated at depth ``lags``); 'suffix' sorts by the
+    # carried content bytes so neighbors come in MATCH-QUALITY order —
+    # ±lags neighbors approximate an unbounded chain walk (levels >= 6)
+    matcher: str = "hash"
     # deflate blocks per gzp block: S > 1 re-derives Huffman tables every
     # block_len/S bytes, zlib's behavior (zlib starts a new deflate block
     # every ~16K symbols, deflate.c lit_bufsize) — local tables recover
@@ -135,22 +141,30 @@ class DeflateEncodeConfig:
             pw, lg, win, lazy, h3 = 3, 2, 256, True, False
         elif level <= 8:
             # hash3 stays off: measured net-negative on text (short
-            # matches displace longer ones in the greedy parse)
-            pw, lg, win, lazy, h3 = 7, 6, 512, True, False
+            # matches displace longer ones in the greedy parse).
+            # suffix matcher, ±12 candidate neighbors: x1.0261 vs zlib-6
+            # on the bench corpus (round 4, benches/ratio_r4.log; the
+            # recency-ordered hash matcher needed lags≈32 for worse)
+            pw, lg, win, lazy, h3 = 7, 12, 512, True, False
         else:
-            pw, lg, win, lazy, h3 = 7, 8, 1024, True, False
-        # levels >= 6: local Huffman tables every ~16-32 KiB like zlib
+            # ±24 suffix neighbors: x1.0208 vs zlib-9 (benches/ratio_r4.log)
+            pw, lg, win, lazy, h3 = 7, 24, 1024, True, False
+        # levels >= 6 on big blocks: local Huffman tables every ~64 KiB.
+        # Measured (round 4, benches/ratio_r4.log): at 64 KiB blocks the
+        # extra sub-block headers cost more than table locality gains on
+        # homogeneous text (x1.0905 vs x1.0873 at level 6), so sub-block
+        # tables only engage when blocks exceed 64 KiB.
         sub = 1
         if level >= 6:
-            for cand in (8, 4, 2):
-                if block_len % cand == 0 and block_len // cand >= 16384:
+            for cand in (4, 2):
+                if block_len % cand == 0 and block_len // cand >= 65536:
                     sub = cand
                     break
         return cls(
             block_len=block_len, mode=mode, checksum=checksum, level=level,
             window=win, lazy=lazy, dynamic=True,
             payload_words=pw, lags=lg, dict_size=dict_size, hash3=h3,
-            subblocks=sub,
+            subblocks=sub, matcher="suffix" if level >= 6 else "hash",
         )
 
     @property
@@ -560,6 +574,7 @@ def match_stage(
         payload_words=cfg.payload_words,
         lags=cfg.lags,
         hash3=cfg.hash3,
+        suffix=cfg.matcher == "suffix",
     )
     return ext, match_len, match_dist
 

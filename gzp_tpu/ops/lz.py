@@ -113,6 +113,25 @@ def run_lengths(data_u8: jax.Array) -> jax.Array:
     return cnt_scan[:, ::-1]
 
 
+def _bswap32(x: jax.Array) -> jax.Array:
+    """Byte-swap each uint32 so little-endian 4-byte windows compare
+    byte-lexicographically as integers."""
+    return (
+        (x << 24)
+        | ((x & jnp.uint32(0xFF00)) << 8)
+        | ((x >> 8) & jnp.uint32(0xFF00))
+        | (x >> 24)
+    )
+
+
+def _lz_bytes(x: jax.Array) -> jax.Array:
+    """Number of leading zero *bytes* (0..4) of a uint32 (big-endian
+    byte order, i.e. after :func:`_bswap32`)."""
+    return jnp.where(
+        x == 0, 4, jax.lax.clz(x.astype(_I32)).astype(_I32) >> 3
+    )
+
+
 def best_matches(
     data_u8: jax.Array,
     lengths: jax.Array,
@@ -127,6 +146,7 @@ def best_matches(
     payload_words: int = 3,
     lags: int = 2,
     hash3: bool = False,
+    suffix: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Best match (length, distance) at every position of every block.
 
@@ -159,6 +179,15 @@ def best_matches(
 
     ``lazy=True`` applies zlib's lazy-match heuristic: a match is demoted
     to a literal when the next position holds a strictly longer match.
+
+    ``suffix=True`` (levels >= 6) sorts by the carried CONTENT instead of
+    by hash: keys are the byte-swapped context words plus position, so
+    sorted order is suffix order truncated at ``payload_bytes`` — each
+    position's ``lags`` neighbors in BOTH directions are its best
+    candidates *by match length*, the quality a hash-chain matcher only
+    reaches by walking thousands of chain entries (zlib level 9 walks up
+    to 4096, deflate.c max_chain). Pure 3-byte matches fall out for free
+    (no separate hash3 pass).
     """
     del max_words  # v2 carries sort payload context; knob kept for API compat
     b, n_ext = data_u8.shape
@@ -174,9 +203,95 @@ def best_matches(
     else:
         lo = halo_start[:, None].astype(_I32)
 
-    # -- one sort: keys group equal hashes; payload carries suffix context
-    h = hash_positions(w4, 32 - pos_bits)
     pos_u = jnp.arange(n_ext, dtype=_U32)[None, :]
+
+    def better(la, da, ca, lb, db, cb):
+        a_wins = jnp.logical_or(la > lb, jnp.logical_and(la == lb, da < db))
+        return (
+            jnp.where(a_wins, la, lb),
+            jnp.where(a_wins, da, db),
+            jnp.where(a_wins, ca, cb),
+        )
+
+    def to_pos_order(sp, ls, ds, cs):
+        """Pack (capped, len, dist) and sort back to position order
+        (inverting a permutation by sorting beats a scatter). Invalid
+        candidates carry garbage — possibly negative — distances across
+        bucket boundaries; zero them so sign bits can't pollute the
+        packed fields."""
+        ds = jnp.where(ls > 0, ds, 0)
+        packed = (
+            ds.astype(_U32)
+            | (ls.astype(_U32) << 17)
+            | (cs.astype(_U32) << 22)
+        )
+        _, packed_pos = jax.lax.sort(
+            (sp.astype(_U32), packed), dimension=1, num_keys=1
+        )
+        ln = ((packed_pos >> 17) & 0x1F).astype(_I32)
+        dist = (packed_pos & 0x1FFFF).astype(_I32)
+        capped = (packed_pos >> 22) == 1
+        return ln, dist, capped
+
+    if suffix:
+        # -- content sort: multi-key lexicographic over the context bytes
+        payload = [_shift_left(w4, 4 * k, jnp.uint32(0)) if k else w4
+                   for k in range(payload_words)]
+        keys = [jnp.broadcast_to(_bswap32(w), (b, n_ext)) for w in payload]
+        sorted_ops = jax.lax.sort(
+            (*keys, jnp.broadcast_to(pos_u, (b, n_ext))),
+            dimension=1, num_keys=payload_words + 1,
+        )
+        skeys, sp = sorted_ops[:payload_words], sorted_ops[-1].astype(_I32)
+
+        def adj_lcp(lag: int):
+            """LCP (bytes, capped at payload_bytes) between each sorted
+            entry and its ``lag``-above neighbor."""
+            lcp = jnp.full((b, n_ext), payload_bytes, _I32)
+            alive = jnp.ones((b, n_ext), jnp.bool_)
+            for k, w in enumerate(skeys):
+                x = w ^ _shift_right(w, lag, jnp.uint32(0))
+                hit = jnp.logical_and(alive, x != 0)
+                lcp = jnp.where(hit, 4 * k + _lz_bytes(x), lcp)
+                alive = jnp.logical_and(alive, x == 0)
+            return lcp
+
+        def neighbor_dir(lag: int, up: bool):
+            if up:
+                cpos = _shift_right(sp, lag, -1)
+                lcp = adj_lcp(lag)
+            else:
+                cpos = _shift_left(sp, lag, -1)
+                # LCP vs the lag-below neighbor == that neighbor's
+                # lag-above LCP, shifted back
+                lcp = _shift_left(adj_lcp(lag), lag, 0)
+            dist = sp - cpos
+            valid = jnp.logical_and(
+                cpos >= lo,
+                jnp.logical_and(dist >= 1, dist <= max_dist),
+            )
+            capped = jnp.logical_and(valid, lcp >= payload_bytes)
+            lcp = jnp.where(valid, lcp, 0)
+            return lcp, dist, capped
+
+        ls, ds, cs = neighbor_dir(1, True)
+        for lag in range(2, lags + 1):
+            l2, d2, c2 = neighbor_dir(lag, True)
+            ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
+        for lag in range(1, lags + 1):
+            l2, d2, c2 = neighbor_dir(lag, False)
+            ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
+        suffix_ext = to_pos_order(sp, ls, ds, cs)
+
+    # -- hash path: always runs. Content order ranks candidates by match
+    # LENGTH but loses distance locality and extension-chain coherence
+    # (nearest-previous picks keep dist constant as a long match slides,
+    # which the pointer-doubling extension depends on), so the hybrid
+    # keeps a shallow recency-ordered pass even at suffix levels —
+    # measured: suffix-only was 4% WORSE than hash-only on repetitive
+    # corpora while 6% better on the bench corpus; the merge takes both.
+    hash_lags = 2 if suffix else lags
+    h = hash_positions(w4, 32 - pos_bits)
     key = (h << np.uint32(pos_bits)) | pos_u
     payload = [_shift_left(w4, 4 * k, jnp.uint32(0)) if k else w4
                for k in range(payload_words)]
@@ -207,35 +322,12 @@ def best_matches(
         lcp = jnp.where(valid, lcp, 0)
         return lcp, dist, capped
 
-    def better(la, da, ca, lb, db, cb):
-        a_wins = jnp.logical_or(la > lb, jnp.logical_and(la == lb, da < db))
-        return (
-            jnp.where(a_wins, la, lb),
-            jnp.where(a_wins, da, db),
-            jnp.where(a_wins, ca, cb),
-        )
-
     ls, ds, cs = neighbor(1)
-    for lag in range(2, lags + 1):
+    for lag in range(2, hash_lags + 1):
         l2, d2, c2 = neighbor(lag)
         ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
 
-    # -- back to position order: pack (capped, len, dist) and sort by pos
-    # (invalid candidates carry garbage — possibly negative — distances
-    # across bucket boundaries; zero them so sign bits can't pollute the
-    # packed fields)
-    ds = jnp.where(ls > 0, ds, 0)
-    packed = (
-        ds.astype(_U32)
-        | (ls.astype(_U32) << 17)
-        | (cs.astype(_U32) << 22)
-    )
-    _, packed_pos = jax.lax.sort(
-        (sp.astype(_U32), packed), dimension=1, num_keys=1
-    )
-    ln = ((packed_pos >> 17) & 0x1F).astype(_I32)
-    dist = (packed_pos & 0x1FFFF).astype(_I32)
-    capped = (packed_pos >> 22) == 1
+    ln, dist, capped = to_pos_order(sp, ls, ds, cs)
 
     if hash3:
         # second candidate source keyed on a 3-byte hash: finds the pure
@@ -289,16 +381,31 @@ def best_matches(
     capped = jnp.where(run_wins, False, capped)
     ln = jnp.where(run_wins, l3, ln)
 
-    # -- extension doubling for context-capped matches
-    cap = payload_bytes
-    while cap < max_match:
-        ln_next = _shift_left(ln, cap, 0)
-        dist_next = _shift_left(dist, cap, 0)
-        cap_next = _shift_left(capped, cap, False)
-        chain = jnp.logical_and(capped, dist_next == dist)
-        ln = jnp.where(chain, cap + jnp.where(ln_next > 0, ln_next, 0), ln)
-        capped = jnp.logical_and(chain, cap_next)
-        cap *= 2
+    def extend(ln, dist, capped):
+        """Extension doubling for context-capped matches: chains require
+        the SAME distance to reappear ``cap`` ahead, so it must run on a
+        coherent single-source candidate field — merging sources first
+        would break chains (the suffix matcher's repetitive-corpus
+        regression)."""
+        cap = payload_bytes
+        while cap < max_match:
+            ln_next = _shift_left(ln, cap, 0)
+            dist_next = _shift_left(dist, cap, 0)
+            cap_next = _shift_left(capped, cap, False)
+            chain = jnp.logical_and(capped, dist_next == dist)
+            ln = jnp.where(chain, cap + jnp.where(ln_next > 0, ln_next, 0), ln)
+            capped = jnp.logical_and(chain, cap_next)
+            cap *= 2
+        return ln, dist, capped
+
+    ln, dist, capped = extend(ln, dist, capped)
+    if suffix:
+        ln_s, dist_s, capped_s = extend(*suffix_ext)
+        wins = jnp.logical_or(
+            ln_s > ln, jnp.logical_and(ln_s == ln, dist_s < dist)
+        )
+        ln = jnp.where(wins, ln_s, ln)
+        dist = jnp.where(wins, dist_s, dist)
 
     ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
     ln = jnp.where(ln >= min_emit, ln, 0)

@@ -24,11 +24,12 @@ def _corpus(nbytes: int) -> bytes:
     return make_corpus(nbytes)
 
 
-# measured (64 KiB blocks, bench corpus, round 3): level 1 = 0.978,
-# 3 = 1.017, 6 = 1.095, 9 = 1.094 — bounds leave ~1% headroom so any
-# regression of the RLE header or match search fails loudly
+# measured (64 KiB blocks, bench corpus, round 4 — suffix matcher at
+# levels >= 6, benches/ratio_r4.log): level 1 = 0.967, 3 = 1.005,
+# 6 = 1.026, 9 = 1.021 — bounds leave <1% headroom so any regression of
+# the RLE header, match search, or suffix candidate ranking fails loudly
 @pytest.mark.parametrize(
-    "level,bound", [(3, 1.03), (1, 1.00), (6, 1.11), (9, 1.11)]
+    "level,bound", [(3, 1.02), (1, 0.98), (6, 1.035), (9, 1.03)]
 )
 def test_size_vs_zlib_bound(level, bound):
     block = 65536
