@@ -97,6 +97,10 @@ def run_stage(batch: int, block_size: int, reps: int, level: int) -> dict:
     from gzp_tpu.ops.deflate_kernel import DeflateEncodeConfig, encode_deflate_blocks
 
     cfg = DeflateEncodeConfig.for_level(block_size, "mgzip", "none", level)
+    if os.environ.get("GZP_BENCH_PACK"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pack=os.environ["GZP_BENCH_PACK"])
 
     batch_bytes = batch * block_size
     corpus = make_corpus(batch_bytes)
@@ -196,6 +200,10 @@ def run_stage_staged(batch: int, block_size: int, reps: int, level: int) -> dict
     )
 
     cfg = DeflateEncodeConfig.for_level(block_size, "mgzip", "none", level)
+    if os.environ.get("GZP_BENCH_PACK"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pack=os.environ["GZP_BENCH_PACK"])
     batch_bytes = batch * block_size
     data = np.frombuffer(make_corpus(batch_bytes), np.uint8).reshape(batch, block_size)
     lengths = np.full((batch,), block_size, np.int32)
