@@ -77,6 +77,7 @@ class ParCompress:
         emit_footer: bool = True,
         final_on_finish: bool = True,
         preset_carry: bytes = b"",
+        verify: bool = False,
     ) -> None:
         """Shard-mode knobs (public API for gzp_tpu.parallel.multihost —
         one host compresses a contiguous mid-stream block range):
@@ -88,6 +89,15 @@ class ParCompress:
           a NON-final block (the stream continues in the next shard)
         * ``preset_carry``       — preset the 32 KiB dictionary from the
           previous shard's trailing input bytes
+
+        ``verify=True`` oracle-decodes every emitted block on the host
+        and swaps in a stored (uncompressed-deflate) encoding on any
+        mismatch, recomputing the block checksum host-side. Motivated by
+        round 4's field observation of single-bit device-side flips on
+        one batch shape (see ARCHITECTURE.md §9): the net guarantees
+        byte-correct output even on marginal accelerators, at host
+        decode cost (``verify_stats`` counts checks and repairs). The
+        reference has no analog — its CPU codecs are trusted.
         """
         if num_threads < 1:
             raise NumThreadsError(num_threads)
@@ -106,6 +116,9 @@ class ParCompress:
         self.queue_depth = queue_depth
         self.mesh = mesh
 
+        self._verify = verify
+        self.verify_stats = {"checked": 0, "repaired": 0}
+        self._verify_stream = None  # lazy zlib.decompressobj for stream mode
         self._emit_footer = emit_footer
         self._final_on_finish = final_on_finish
         self._buffer = bytearray()
@@ -385,12 +398,79 @@ class ParCompress:
                 # entirely-empty stream gets one empty member
                 continue
             blob = get_blob(i)
-            blob = self._maybe_fallback(blob, arr[i, :ln].tobytes(), ln, fin, int(chks[i]))
-            self._check.combine(fmt.check_cls.from_sum(int(chks[i]), ln))
+            raw = arr[i, :ln].tobytes()
+            chk = int(chks[i])
+            blob = self._maybe_fallback(blob, raw, ln, fin, chk)
+            if self._verify:
+                blob, chk = self._verify_or_repair(blob, raw, ln, fin, chk)
+            self._check.combine(fmt.check_cls.from_sum(chk, ln))
             pieces.append(blob)
             self._emitted_any = True
         if pieces:
             self.writer.write(b"".join(pieces))
+
+    def _verify_or_repair(
+        self, blob: bytes, raw: bytes, ln: int, final: bool, chk: int
+    ) -> tuple[bytes, int]:
+        """Oracle-decode ``blob``; on any mismatch re-emit the block as a
+        stored encoding (always byte-correct) with a host-recomputed
+        checksum. See the ``verify`` constructor knob."""
+        import zlib as _zlib
+
+        mode = self.format.kernel_mode
+        self.verify_stats["checked"] += 1
+        ok = False
+        try:
+            if mode in ("mgzip", "bgzf"):
+                payload = blob[self._cfg.header_len : len(blob) - 8]
+                d = _zlib.decompressobj(-15)
+                ok = d.decompress(payload) + d.flush() == raw
+            elif mode == "stream":
+                if self._verify_stream is None:
+                    self._verify_stream = _zlib.decompressobj(-15)
+                ok = self._verify_stream.decompress(blob) == raw
+            elif mode == "snappy":
+                from gzp_tpu.utils.snappy_ref import decode_frames
+
+                ok = decode_frames(blob) == raw
+        except Exception:  # noqa: BLE001 - any decode error means repair
+            ok = False
+        if ok:
+            return blob, chk
+        self.verify_stats["repaired"] += 1
+        import logging
+
+        logging.getLogger("gzp_tpu").warning(
+            "verify: device-encoded block failed oracle decode; "
+            "re-emitting stored (totals: %r)", self.verify_stats,
+        )
+        c = self.format.check_cls()
+        c.update(raw)
+        host_chk = c.sum
+        if mode == "stream":
+            blob = host_codec.stored_deflate(raw, final)
+            # the incremental oracle consumed the bad blob; resync it on
+            # the repaired bytes
+            self._verify_stream = _zlib.decompressobj(-15)
+            prefix_ok = self._verify_stream.decompress(blob) == raw
+            assert prefix_ok or not raw
+        elif mode in ("mgzip", "bgzf"):
+            blob = host_codec.stored_member(raw, mode, self.level)
+        else:  # snappy: uncompressed frame chunk (chunk CRC is the
+            # device-computed masked CRC32C — the checksum stage reads
+            # the input directly and is not part of the packing path)
+            from gzp_tpu.constants import SNAPPY_STREAM_IDENTIFIER
+            from gzp_tpu.utils.serialize import put_le
+
+            blob = (
+                SNAPPY_STREAM_IDENTIFIER
+                + b"\x01"
+                + put_le(ln + 4, 3)
+                + put_le(chk, 4)
+                + raw
+            )
+            host_chk = chk
+        return blob, host_chk
 
     def _maybe_fallback(
         self, blob: bytes, raw: bytes, ln: int, final: bool, chk: int
@@ -443,6 +523,7 @@ class ParCompressBuilder:
         self._buffer_size: int | None = None
         self._mesh: jax.sharding.Mesh | None = None
         self._queue_depth = DEFAULT_QUEUE_DEPTH
+        self._verify = False
 
     def num_threads(self, n: int) -> "ParCompressBuilder":
         if n < 1:
@@ -473,6 +554,12 @@ class ParCompressBuilder:
         self._queue_depth = max(1, depth)
         return self
 
+    def verify(self, on: bool = True) -> "ParCompressBuilder":
+        """Oracle-decode every block on the host and repair mismatches
+        with stored encodings (see ``ParCompress(verify=...)``)."""
+        self._verify = on
+        return self
+
     def from_writer(self, writer: BinaryIO) -> ParCompress:
         return ParCompress(
             self.format_spec,
@@ -482,4 +569,5 @@ class ParCompressBuilder:
             buffer_size=self._buffer_size,
             queue_depth=self._queue_depth,
             mesh=self._mesh,
+            verify=self._verify,
         )
