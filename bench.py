@@ -530,6 +530,13 @@ def _audit(errors: list[str], best: dict | None) -> None:
 
 
 def main() -> None:
+    # A/B hook for the §9 anomaly bisects: force full-precision matmuls
+    if os.environ.get("GZP_MATMUL_PRECISION"):
+        import jax
+
+        jax.config.update(
+            "jax_default_matmul_precision", os.environ["GZP_MATMUL_PRECISION"]
+        )
     args = sys.argv[1:]
     if args and args[0] == "--worker":
         worker(int(args[1]) if len(args) > 1 else 3)
