@@ -12,10 +12,11 @@ Snappy block format (byte-aligned, google/snappy format_description.txt):
   * copies with 2-byte offset: tag ``(len-1)<<2 | 0b10`` + u16le offset
     (lengths 4..64 — exactly our match-length cap)
 
-Everything is scatter-based over the compacted token list from
-:mod:`gzp_tpu.ops.lz`: literal runs are grouped with cummax/cummin over
-token slots and chunked into <=60-byte tag-only literal elements; each
-token contributes at most 3 output bytes at prefix-summed offsets.
+Literal runs are grouped with cummax/cummin over positions and chunked
+into <=60-byte tag-only literal elements; each position contributes at
+most one <=24-bit entry, and the whole frame body (varint preamble
+included, as a dynamic-width head entry) is assembled by the
+scatter-free sortscan packer (round 4; gzp_tpu.ops.deflate_kernel).
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ import numpy as np
 from gzp_tpu.constants import SNAPPY_MAX_CHUNK, SNAPPY_MIN_MATCH, SNAPPY_STREAM_IDENTIFIER
 from gzp_tpu.ops import lz
 from gzp_tpu.ops.checksum import crc32c_masked_device
-from gzp_tpu.ops.deflate_kernel import _scatter_bits
+from gzp_tpu.ops.deflate_kernel import pack_entries_sortscan
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -64,15 +65,14 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     ``out_len`` [B] int32, ``check`` [B] uint32 (masked CRC32C of the
     uncompressed chunk — also embedded in the frame).
 
-    v2 emission: one <=24-bit entry per *position* (literal byte /
+    Emission: one <=24-bit entry per *position* (literal byte /
     tag+byte / match tag+offset, all byte-aligned bit widths), packed by
-    the same prefix-sum + word scatter as the DEFLATE emitter — the
-    per-token compaction pass and its gathers are gone.
+    the scatter-free sortscan packer — no per-token compaction, no
+    gathers, no scatters.
     """
     del is_final  # snappy frames need no stream-close marker
     b, n = data_u8.shape
     assert n == cfg.block_len and n <= SNAPPY_MAX_CHUNK
-    rows = jnp.arange(b, dtype=_I32)[:, None]
 
     match_len, match_dist = lz.best_matches(
         data_u8,
@@ -142,17 +142,29 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
         is_lit, 8 * (1 + has_tag.astype(_I32)), jnp.where(chunk_start, 24, 0)
     )
 
-    # varint preamble for the uncompressed length
+    # varint preamble for the uncompressed length, as ONE dynamic-width
+    # entry at the head of the element stream — that keeps the packer's
+    # base offset static (the frame header is fixed-size) and routes the
+    # whole frame body through the scatter-free sortscan packer
     ln = lengths.astype(_I32)
     varint_len = jnp.where(ln < 128, 1, jnp.where(ln < 16384, 2, 3))
+    lnu = ln.astype(_U32)
+    b0 = jnp.where(varint_len > 1, (lnu & 0x7F) | 0x80, lnu & 0x7F)
+    b1 = jnp.where(varint_len > 2, ((lnu >> 7) & 0x7F) | 0x80, (lnu >> 7) & 0x7F)
+    b2 = (lnu >> 14) & 0x7F
+    ventry = (
+        b0
+        | jnp.where(varint_len >= 2, b1 << 8, 0)
+        | jnp.where(varint_len >= 3, b2 << 16, 0)
+    )
 
-    csum = jnp.cumsum(width, axis=1)
-    elem_total = csum[:, -1] >> 3  # bytes
-    off = 8 * (_HDR + varint_len[:, None]) + (csum - width)
-
+    all_bits = jnp.concatenate([ventry[:, None], entry], axis=1)
+    all_n = jnp.concatenate([(8 * varint_len)[:, None], width], axis=1)
     out_words = cfg.out_bytes // 4
-    words = jnp.zeros((b, out_words), dtype=_U32)
-    words = _scatter_bits(words, rows, off, entry, 24)
+    words, total_bits = pack_entries_sortscan(
+        all_bits, all_n, 8 * _HDR, out_words
+    )
+    elem_total = (total_bits >> 3) - _HDR - varint_len
     out = jnp.stack(
         [words & 0xFF, (words >> 8) & 0xFF, (words >> 16) & 0xFF, (words >> 24) & 0xFF],
         axis=-1,
@@ -171,19 +183,6 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     out = out.at[:, 15].set(((crc >> 8) & 0xFF).astype(_U8))
     out = out.at[:, 16].set(((crc >> 16) & 0xFF).astype(_U8))
     out = out.at[:, 17].set(((crc >> 24) & 0xFF).astype(_U8))
-
-    # varint bytes (first always at 18; trailing bytes scattered, dropped
-    # when the varint is shorter)
-    lnu = ln.astype(_U32)
-    b0 = jnp.where(varint_len > 1, (lnu & 0x7F) | 0x80, lnu & 0x7F)
-    b1 = jnp.where(varint_len > 2, ((lnu >> 7) & 0x7F) | 0x80, (lnu >> 7) & 0x7F)
-    b2 = (lnu >> 14) & 0x7F
-    out = out.at[:, 18].set(b0.astype(_U8))
-    drop = cfg.out_bytes + 8  # out-of-bounds scatter index -> dropped
-    p_b1 = jnp.where(varint_len >= 2, 19, drop)[:, None]
-    p_b2 = jnp.where(varint_len >= 3, 20, drop)[:, None]
-    out = out.at[rows, p_b1].set(b1.astype(_U8)[:, None], mode="drop")
-    out = out.at[rows, p_b2].set(b2.astype(_U8)[:, None], mode="drop")
 
     out_len = jnp.where(ln > 0, _HDR + varint_len + elem_total, 10)
     ntok = jnp.sum(marked.astype(_I32), axis=1)
