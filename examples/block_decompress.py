@@ -15,7 +15,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--format", default="bgzf", choices=["bgzf", "mgzip"])
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        from gzp_tpu.utils.testing import force_cpu_backend
+
+        force_cpu_backend()
 
     fmt = Bgzf if args.format == "bgzf" else Mgzip
     reader = ParDecompressBuilder(fmt).num_threads(args.threads).from_reader(

@@ -19,7 +19,12 @@ def main() -> None:
     ap.add_argument("--format", default="gzip", choices=sorted(ALL_FORMATS))
     ap.add_argument("--threads", type=int, default=16)
     ap.add_argument("--level", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        from gzp_tpu.utils.testing import force_cpu_backend
+
+        force_cpu_backend()
 
     fmt = ALL_FORMATS[args.format]
     writer = (
