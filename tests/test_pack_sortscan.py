@@ -225,3 +225,30 @@ def test_parcompress_verify_happy_and_repair():
     blob, chk = w._verify_or_repair(member, b"y" * 1000, 1000, True, 123)
     assert w.verify_stats["repaired"] == 1
     assert gzip.decompress(blob) == b"y" * 1000
+
+
+def test_dict_carry_with_subblocks_and_suffix():
+    """The three round-4 features together: 32 KiB-style halo carry,
+    content-ordered candidates, and per-sub-block Huffman tables. The
+    distance stash crosses sub-block rows at full-block scope and halo
+    offsets must survive the payload slice."""
+    n, b, dict_size = 8192, 2, 1024
+    blob = _text(2 * n, 11)
+    data = np.frombuffer(blob, np.uint8).reshape(b, n)
+    lengths = np.full((b,), n, np.int32)
+    finals = np.array([False, True])
+    halo = np.zeros((b, dict_size), np.uint8)
+    halo[1] = data[0, -dict_size:]
+    dict_lens = np.array([0, dict_size], np.int32)
+    cfg = dataclasses.replace(
+        DeflateEncodeConfig.for_level(n, "stream", "crc32", 6, dict_size=dict_size),
+        subblocks=2,
+    )
+    assert cfg.matcher == "suffix"
+    r = encode_deflate_blocks(
+        cfg, jnp.asarray(data), jnp.asarray(lengths), jnp.asarray(finals),
+        jnp.asarray(halo), jnp.asarray(dict_lens),
+    )
+    out, ol = np.asarray(r["out"]), np.asarray(r["out_len"])
+    stream = b"".join(out[i, : ol[i]].tobytes() for i in range(b))
+    assert zlib.decompressobj(-15).decompress(stream) == blob
