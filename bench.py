@@ -46,12 +46,15 @@ TARGET_GBPS = 5.0
 # two separately-jitted programs (match | parse+emit) timed as the sum
 # of two per-stage chained loops (round-4 task 3). Every earlier
 # stage is banked before attempting the next.
+# NOTE round 4: batch-64 programs hang the remote compile service even
+# as a match-only stage (109 min with zero progress while control
+# compiles run in seconds — scripts/prime64_r4.log), so the 64 rung is
+# attempted LAST and bounded by GZP_STAGE_TIMEOUT_S; 128 was removed.
 LADDER = [
     (8, 32768, 4, False),
     (16, 131072, 4, False),
     (32, 131072, 8, False),
     (64, 131072, 8, True),
-    (128, 131072, 8, True),
 ]
 
 
@@ -411,8 +414,22 @@ def measure_decode() -> dict:
 
 
 def worker(level: int) -> None:
-    """Climb the ladder, printing one JSON line per completed stage."""
+    """Climb the ladder, printing one JSON line per completed stage.
+    Each stage runs under SIGALRM so one hung remote compile (the
+    batch-64 failure mode, scripts/prime64_r4.log) can't silently eat
+    the whole budget."""
+    import signal as _signal
+
     from gzp_tpu.utils.testing import enable_compilation_cache
+
+    class _StageTimeout(Exception):
+        pass
+
+    def _alarm(_s, _f):
+        raise _StageTimeout()
+
+    _signal.signal(_signal.SIGALRM, _alarm)
+    stage_budget = int(os.environ.get("GZP_STAGE_TIMEOUT_S", "2100"))
 
     enable_compilation_cache()
     # decode first: host-only, seconds, and must not be lost to a
@@ -423,16 +440,25 @@ def worker(level: int) -> None:
         print(json.dumps({"stage_error": f"decode: {e}"[:300]}), flush=True)
     for batch, block_size, reps, staged in LADDER:
         try:
+            _signal.alarm(stage_budget)
             if staged:
                 res = run_stage_staged(batch, block_size, reps, level)
             else:
                 res = run_stage(batch, block_size, reps, level)
+        except _StageTimeout:
+            print(
+                json.dumps({"stage_error": f"{batch}x{block_size}: stage timeout"}),
+                flush=True,
+            )
+            continue
         except Exception as e:  # pragma: no cover - stage failure path
             print(
                 json.dumps({"stage_error": f"{batch}x{block_size}: {e}"[:500]}),
                 flush=True,
             )
             continue
+        finally:
+            _signal.alarm(0)
         print(json.dumps(res), flush=True)
 
 
