@@ -46,15 +46,17 @@ TARGET_GBPS = 5.0
 # two separately-jitted programs (match | parse+emit) timed as the sum
 # of two per-stage chained loops (round-4 task 3). Every earlier
 # stage is banked before attempting the next.
-# NOTE round 4: batch-64 programs hang the remote compile service even
-# as a match-only stage (109 min with zero progress while control
-# compiles run in seconds — scripts/prime64_r4.log), so the 64 rung is
-# attempted LAST and bounded by GZP_STAGE_TIMEOUT_S; 128 was removed.
+# NOTE round 4: batch >= 64 programs hang the remote compile service
+# even as a match-only stage (109 min with zero progress while control
+# compiles run in seconds — scripts/prime64_r4.log), and a hung compile
+# wait cannot be interrupted from Python (SIGALRM only fires when the
+# blocking call returns), so the ladder ends at the largest compilable
+# batch. Attempt bigger rungs manually via `--stage B BS REPS [LEVEL]
+# [staged]` when the service allows.
 LADDER = [
     (8, 32768, 4, False),
     (16, 131072, 4, False),
     (32, 131072, 8, False),
-    (64, 131072, 8, True),
 ]
 
 
