@@ -46,17 +46,22 @@ TARGET_GBPS = 5.0
 # two separately-jitted programs (match | parse+emit) timed as the sum
 # of two per-stage chained loops (round-4 task 3). Every earlier
 # stage is banked before attempting the next.
-# NOTE round 4: batch >= 64 programs hang the remote compile service
-# even as a match-only stage (109 min with zero progress while control
-# compiles run in seconds — scripts/prime64_r4.log), and a hung compile
-# wait cannot be interrupted from Python (SIGALRM only fires when the
-# blocking call returns), so the ladder ends at the largest compilable
-# batch. Attempt bigger rungs manually via `--stage B BS REPS [LEVEL]
-# [staged]` when the service allows.
+# NOTE round 4: compile-service health gates the big rungs. Mid-round,
+# a batch-64 MATCH-ONLY stage hung 109 minutes while control compiles
+# ran in seconds (scripts/prime64_r4.log); two hours later the batch-64
+# MONOLITH compiled in 49 s and validated clean at 0.0905 GB/s. The
+# ladder climbs 8→64 and every completed rung is banked before the
+# next, so a bad service day degrades gracefully to the largest rung
+# that compiles; a hung compile wait cannot be interrupted from Python
+# (SIGALRM fires only when the blocking call returns) — the supervisor
+# budget SIGTERM is the real bound.
 LADDER = [
     (8, 32768, 4, False),
     (16, 131072, 4, False),
     (32, 131072, 8, False),
+    (48, 131072, 8, False),
+    (56, 131072, 8, False),
+    (64, 131072, 8, False),
 ]
 
 
