@@ -7,11 +7,14 @@
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
-
-from gzp_tpu import ALL_FORMATS, ZBuilder
+try:
+    from gzp_tpu import ALL_FORMATS, ZBuilder
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gzp_tpu import ALL_FORMATS, ZBuilder
 
 
 def main() -> None:

@@ -9,12 +9,15 @@ Usage:
     python examples/snap_decode.py < file.sz > file.out
 """
 
+import os
 import shutil
 import sys
 
-sys.path.insert(0, ".")
-
-from gzp_tpu.formats.snap import SnappyFrameDecoder
+try:
+    from gzp_tpu.formats.snap import SnappyFrameDecoder
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gzp_tpu.formats.snap import SnappyFrameDecoder
 
 
 def main() -> None:

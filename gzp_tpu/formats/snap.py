@@ -18,6 +18,7 @@ from gzp_tpu import check as _check
 from gzp_tpu.constants import BUFSIZE, SNAPPY_MAX_CHUNK
 from gzp_tpu.errors import DecompressError, InvalidCheckError, InvalidHeaderError
 from gzp_tpu.formats.base import FormatSpec
+from gzp_tpu.utils.io import read_exact as _read_exact_io
 
 
 class _Snap(FormatSpec):
@@ -56,7 +57,9 @@ class SnappyFrameDecoder(io.RawIOBase):
         self._seen_stream_id = False
 
     def _read_exact(self, n: int) -> bytes:
-        data = self.reader.read(n)
+        # looped read: short returns are legal from pipes/sockets
+        # (reference snap crate reads via read_exact loops)
+        data = _read_exact_io(self.reader, n)
         if len(data) != n:
             raise DecompressError("truncated snappy frame chunk")
         return data
@@ -66,7 +69,7 @@ class SnappyFrameDecoder(io.RawIOBase):
 
         native = get_native()
         while True:
-            hdr = self.reader.read(4)
+            hdr = _read_exact_io(self.reader, 4)
             if not hdr:
                 self._eof = True
                 return None

@@ -30,6 +30,7 @@ from gzp_tpu.errors import (
 )
 from gzp_tpu.formats.base import BlockFormatSpec
 from gzp_tpu.runtime import get_native
+from gzp_tpu.utils.io import read_exact
 
 DEFAULT_DECOMPRESS_THREADS = 8
 
@@ -108,7 +109,9 @@ class ParDecompress(io.RawIOBase):
     # -- block scanning (the reference's reader thread, :194-210) --
 
     def _scan_one(self) -> bytes | None:
-        hdr = self.reader.read(self.format.header_size)
+        # read-exact loops: pipes/sockets/raw files legally return short
+        # (reference uses read_exact, src/par/decompress.rs:197-202)
+        hdr = read_exact(self.reader, self.format.header_size)
         if not hdr:
             return None
         if len(hdr) < self.format.header_size:
@@ -119,7 +122,7 @@ class ParDecompress(io.RawIOBase):
             raise InvalidBlockSizeError(
                 f"invalid block size {size} (< header + footer)"
             )
-        rest = self.reader.read(size - self.format.header_size)
+        rest = read_exact(self.reader, size - self.format.header_size)
         if len(rest) != size - self.format.header_size:
             raise DecompressError("truncated block body")
         return hdr + rest
@@ -327,13 +330,20 @@ class MultiGzDecoder(io.RawIOBase):
         self._pending = b""  # decoded bytes not yet handed to the caller
 
     def _fill(self) -> None:
-        chunk = self.reader.read(self._readsize)
-        if not chunk:
-            self._eof_in = True
-        else:
+        # loop to the full chunk size: short-read sources (pipes,
+        # sockets) would otherwise add a few bytes per failed decode
+        # attempt, turning member decoding quadratic
+        want = self._readsize
+        got = 0
+        while got < want:
+            chunk = self.reader.read(want - got)
+            if not chunk:
+                self._eof_in = True
+                break
             self._in += chunk
-            # grow so a large member is retried O(log) times, not O(n)
-            self._readsize = min(self._readsize * 2, 1 << 27)
+            got += len(chunk)
+        # grow so a large member is retried O(log) times, not O(n)
+        self._readsize = min(self._readsize * 2, 1 << 27)
 
     def _next_member(self) -> bytes | None:
         """Decode the next complete member from the input buffer, reading
@@ -422,11 +432,13 @@ class MultiGzDecoder(io.RawIOBase):
 
 class ParDecompressBuilder:
     """Mirror of the reference's ``ParDecompressBuilder``
-    (src/par/decompress.rs:17-109)."""
+    (src/par/decompress.rs:17-109): ``num_threads`` / ``buffer_size`` /
+    ``queue_size`` / ``pin_threads`` knobs ahead of ``from_reader``."""
 
     def __init__(self, format_spec: BlockFormatSpec):
         self.format_spec = format_spec
         self._num_threads = DEFAULT_DECOMPRESS_THREADS
+        self._queue_depth: int | None = None
 
     def num_threads(self, n: int) -> "ParDecompressBuilder":
         if n < 1:
@@ -434,9 +446,38 @@ class ParDecompressBuilder:
         self._num_threads = n
         return self
 
+    def buffer_size(self, size: int) -> "ParDecompressBuilder":
+        """Validated for parity (reference src/par/decompress.rs:40-46);
+        block reads are sized by each block's own framing, so the knob
+        has no effect beyond validation here."""
+        from gzp_tpu.constants import DICT_SIZE
+        from gzp_tpu.errors import BufferSizeError
+
+        if size < DICT_SIZE:
+            raise BufferSizeError(size, DICT_SIZE)
+        return self
+
+    def queue_size(self, n: int) -> "ParDecompressBuilder":
+        """Bounded lookahead (the reference's channel bound is
+        ``2 * num_threads``, src/par/decompress.rs:70)."""
+        if n < 1:
+            raise ValueError(f"queue_size must be >= 1, got {n}")
+        self._queue_depth = n
+        return self
+
+    def pin_threads(self, pin: int | None) -> "ParDecompressBuilder":
+        # API parity no-op: thread pinning is meaningless for the device
+        # path, and the reference itself degrades to a warning no-op on
+        # unsupported platforms (src/par/decompress.rs:57-66).
+        del pin
+        return self
+
     def from_reader(self, reader: BinaryIO) -> ParDecompress:
         return ParDecompress(
-            self.format_spec, reader, num_threads=self._num_threads
+            self.format_spec,
+            reader,
+            num_threads=self._num_threads,
+            queue_depth=self._queue_depth,
         )
 
     def maybe_par_from_reader(self, reader: BinaryIO, num_threads: int | None = None):
@@ -445,4 +486,6 @@ class ParDecompressBuilder:
         n = self._num_threads if num_threads is None else num_threads
         if n == 0:
             return MultiGzDecoder(reader)
-        return ParDecompress(self.format_spec, reader, num_threads=n)
+        return ParDecompress(
+            self.format_spec, reader, num_threads=n, queue_depth=self._queue_depth
+        )

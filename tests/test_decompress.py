@@ -232,3 +232,80 @@ def test_snappy_frame_decoder_skippable_and_corrupt():
     bad[14] ^= 0x55  # inside the first chunk's CRC field
     with pytest.raises(GzpError):
         SnappyFrameDecoder(io.BytesIO(bytes(bad))).read()
+
+
+class DribbleReader(io.RawIOBase):
+    """Returns at most a few bytes per read() — models pipes/sockets/raw
+    files whose short returns are NOT end-of-stream (reference handles
+    this with read_exact loops, src/par/decompress.rs:197-202)."""
+
+    def __init__(self, data: bytes, max_chunk: int = 7):
+        self.data = data
+        self.pos = 0
+        self.max_chunk = max_chunk
+        self.calls = 0
+
+    def readable(self):
+        return True
+
+    def read(self, size=-1):
+        self.calls += 1
+        if self.pos >= len(self.data):
+            return b""
+        n = min(size if size >= 0 else self.max_chunk,
+                1 + (self.calls * 3) % self.max_chunk)
+        out = self.data[self.pos : self.pos + n]
+        self.pos += len(out)
+        return out
+
+
+@pytest.mark.parametrize("fmt", [Mgzip, Bgzf])
+def test_short_read_sources_block_reader(fmt):
+    """Block readers must loop over short reads, not call them corruption."""
+    data = make_text(150_000, seed=21)
+    blob = compress(fmt, data, nt=2)
+    r = ParDecompress(fmt, DribbleReader(blob), num_threads=2)
+    assert r.read() == data
+    r.close()
+
+
+def test_short_read_sources_snappy():
+    from gzp_tpu import Snap
+    from gzp_tpu.formats.snap import SnappyFrameDecoder
+
+    data = make_text(90_000, seed=22)
+    blob = compress(Snap, data, nt=2)
+    assert SnappyFrameDecoder(DribbleReader(blob)).read() == data
+
+
+def test_short_read_sources_multigz():
+    data = make_text(80_000, seed=23)
+    blob = b"".join(
+        __import__("gzip").compress(data[i : i + 20_000])
+        for i in range(0, len(data), 20_000)
+    )
+    assert MultiGzDecoder(DribbleReader(blob)).read() == data
+
+
+def test_decompress_builder_knobs():
+    """Reference builder parity: buffer_size / queue_size / pin_threads
+    (src/par/decompress.rs:29-66)."""
+    from gzp_tpu.errors import BufferSizeError
+
+    data = make_text(100_000, seed=24)
+    blob = compress(Mgzip, data, nt=2)
+    r = (
+        ParDecompressBuilder(Mgzip)
+        .num_threads(2)
+        .buffer_size(1 << 16)
+        .queue_size(3)
+        .pin_threads(0)
+        .from_reader(io.BytesIO(blob))
+    )
+    assert r._pending is not None and r.queue_depth == 3
+    assert r.read() == data
+    r.close()
+    with pytest.raises(BufferSizeError):
+        ParDecompressBuilder(Mgzip).buffer_size(100)
+    with pytest.raises(ValueError):
+        ParDecompressBuilder(Mgzip).queue_size(0)
