@@ -102,6 +102,18 @@ class DeflateEncodeConfig:
     # add a 3-byte-hash candidate pass (pure 3-byte matches, zlib parity
     # at high levels; two extra sorts)
     hash3: bool = False
+    # hash/sort every S-th position only (fast levels): both match-stage
+    # sorts shrink by S; runs stay full-res and unsampled positions
+    # inherit left-neighbor matches after extension (lz.best_matches).
+    # Measured round 5: only ~10% stage win for ~11% size — the stage
+    # cost is launch/HBM-pass count, not sort elements
+    # (scripts/probe_r5_b16.log) — kept as an A/B knob, default off
+    sample_step: int = 1
+    # route the hash matcher through the fused Pallas kernels
+    # (ops/lz_pallas.py): XLA keeps only the two sorts; the ~80-op
+    # elementwise/scan soup runs as three VMEM-resident kernel launches.
+    # Applies when matcher='hash', hash3=False, sample_step=1.
+    pallas_match: bool = False
     # candidate discovery: 'hash' sorts (hash4, pos) and probes the
     # ``lags`` nearest previous occurrences (recency order — zlib's
     # chain walk truncated at depth ``lags``); 'suffix' sorts by the
@@ -142,10 +154,12 @@ class DeflateEncodeConfig:
         elif level <= 8:
             # hash3 stays off: measured net-negative on text (short
             # matches displace longer ones in the greedy parse).
-            # suffix matcher, ±12 candidate neighbors: x1.0261 vs zlib-6
-            # on the bench corpus (round 4, benches/ratio_r4.log; the
-            # recency-ordered hash matcher needed lags≈32 for worse)
-            pw, lg, win, lazy, h3 = 7, 12, 512, True, False
+            # suffix matcher, ±16 candidate neighbors: x1.0174 vs zlib-6
+            # on the bench corpus (round 4, benches/ratio_r4.log) —
+            # adopted in round 5 over the round-4 lags=12 (x1.0261);
+            # the extra 8 neighbor probes are elementwise compares, the
+            # sorts are unchanged
+            pw, lg, win, lazy, h3 = 7, 16, 512, True, False
         else:
             # ±24 suffix neighbors: x1.0208 vs zlib-9 (benches/ratio_r4.log)
             pw, lg, win, lazy, h3 = 7, 24, 1024, True, False
@@ -562,6 +576,27 @@ def match_stage(
     else:
         ext = data_u8
         halo_start = None
+    if (
+        cfg.pallas_match
+        and cfg.matcher == "hash"
+        and not cfg.hash3
+        and cfg.sample_step == 1
+    ):
+        from gzp_tpu.ops.lz_pallas import best_matches_pallas
+
+        match_len, match_dist = best_matches_pallas(
+            ext,
+            lengths,
+            max_dist=MAX_DIST,
+            max_match=MAX_MATCH,
+            min_emit=MIN_MATCH,
+            base=base,
+            halo_start=halo_start,
+            lazy=cfg.lazy,
+            payload_words=cfg.payload_words,
+            lags=cfg.lags,
+        )
+        return ext, match_len, match_dist
     match_len, match_dist = lz.best_matches(
         ext,
         lengths,
@@ -575,6 +610,7 @@ def match_stage(
         lags=cfg.lags,
         hash3=cfg.hash3,
         suffix=cfg.matcher == "suffix",
+        sample_step=cfg.sample_step,
     )
     return ext, match_len, match_dist
 

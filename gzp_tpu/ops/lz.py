@@ -147,6 +147,7 @@ def best_matches(
     lags: int = 2,
     hash3: bool = False,
     suffix: bool = False,
+    sample_step: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Best match (length, distance) at every position of every block.
 
@@ -188,9 +189,24 @@ def best_matches(
     reaches by walking thousands of chain entries (zlib level 9 walks up
     to 4096, deflate.c max_chain). Pure 3-byte matches fall out for free
     (no separate hash3 pass).
+
+    ``sample_step=S > 1`` (fast levels) hashes and sorts only every S-th
+    position — the dominant match-stage cost is the two sorts and both
+    shrink by S. zlib's fast levels analogously skip hash insertions
+    (deflate.c fill_window/deflate_fast at low levels). Lost coverage is
+    recovered two ways: distance-1 runs stay full-resolution, and after
+    extension every unsampled position derives the candidate implied by
+    its left sampled neighbor (``len-r`` at distance ``dist`` — exact,
+    since a match at ``i`` covers ``i+r`` at the same distance). Only
+    matches STARTING at unsampled positions with no sampled cover are
+    lost (~1-3% size, measured in benches/ratio.py sweeps).
     """
     del max_words  # v2 carries sort payload context; knob kept for API compat
     b, n_ext = data_u8.shape
+    assert sample_step == 1 or (not suffix and not hash3), (
+        "candidate sampling is a fast-level knob (hash path only)"
+    )
+    assert n_ext % sample_step == 0 and base % sample_step == 0
     pos_bits = _pos_bits(n_ext)
     payload_bytes = 4 * payload_words
     assert payload_bytes <= 28, "len field is 5 bits (<= 31 with extension)"
@@ -295,9 +311,11 @@ def best_matches(
     key = (h << np.uint32(pos_bits)) | pos_u
     payload = [_shift_left(w4, 4 * k, jnp.uint32(0)) if k else w4
                for k in range(payload_words)]
-    sorted_ops = jax.lax.sort(
-        (jnp.broadcast_to(key, (b, n_ext)), *payload), dimension=1, num_keys=1
-    )
+    key = jnp.broadcast_to(key, (b, n_ext))
+    if sample_step > 1:
+        key = key[:, ::sample_step]
+        payload = [p[:, ::sample_step] for p in payload]
+    sorted_ops = jax.lax.sort((key, *payload), dimension=1, num_keys=1)
     sk, spay = sorted_ops[0], sorted_ops[1:]
     sp = (sk & np.uint32((1 << pos_bits) - 1)).astype(_I32)
     sh = sk >> np.uint32(pos_bits)
@@ -311,8 +329,8 @@ def best_matches(
             jnp.logical_and(dist >= 1, dist <= max_dist),
         )
         # word-wise LCP of the carried context vs the lagged neighbor's
-        lcp = jnp.full((b, n_ext), payload_bytes, _I32)
-        alive = jnp.ones((b, n_ext), jnp.bool_)
+        lcp = jnp.full(sp.shape, payload_bytes, _I32)
+        alive = jnp.ones(sp.shape, jnp.bool_)
         for k, w in enumerate(spay):
             x = w ^ _shift_right(w, lag, jnp.uint32(0))
             hit = jnp.logical_and(alive, x != 0)
@@ -328,6 +346,17 @@ def best_matches(
         ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
 
     ln, dist, capped = to_pos_order(sp, ls, ds, cs)
+    if sample_step > 1:
+        # upsample sampled slots back to full resolution by interleaving
+        # zero columns (a reshape, not a scatter); unsampled positions
+        # are filled by the run scan below and by left-neighbor
+        # derivation after extension
+        def interleave(x):
+            cols = [x] + [jnp.zeros_like(x) for _ in range(sample_step - 1)]
+            return jnp.stack(cols, axis=2).reshape(b, n_ext)
+
+        ln, dist = interleave(ln), interleave(dist)
+        capped = interleave(capped.astype(_I32)) == 1
 
     if hash3:
         # second candidate source keyed on a 3-byte hash: finds the pure
@@ -406,6 +435,16 @@ def best_matches(
         )
         ln = jnp.where(wins, ln_s, ln)
         dist = jnp.where(wins, dist_s, dist)
+    if sample_step > 1:
+        # unsampled positions inherit their left sampled neighbor's match
+        # minus the offset (exact: a match at i covers i+r at the same
+        # distance); done after extension so full 258-length chains carry
+        for r in range(1, sample_step):
+            ln_d = _shift_right(ln, r, 0) - r
+            dist_d = _shift_right(dist, r, 0)
+            win_d = ln_d > ln
+            ln = jnp.where(win_d, ln_d, ln)
+            dist = jnp.where(win_d, dist_d, dist)
 
     ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
     ln = jnp.where(ln >= min_emit, ln, 0)

@@ -44,13 +44,20 @@ _MAX_LIT_ELEM = 60  # tag-only literal element cap
 @dataclass(frozen=True)
 class SnappyEncodeConfig:
     block_len: int  # N <= 65536
-    window: int = 256
+    window: int = 256  # legacy (round-2 windowed parse A/B only)
     max_words: int = 8
     # matches longer than 64 are emitted as CHAINS of tag-10 copies
-    # (reference snap crate behavior, src/snap.rs:34-83); the parse
-    # window bounds a single token, chains split it into <=64 pieces
+    # (reference snap crate behavior, src/snap.rs:34-83); the scan parse
+    # bounds a single token at 255, chains split it into <=64 pieces
     max_match: int = 256
     max_chain_piece: int = 64  # tag-10 copy length cap (format limit)
+    # matcher knobs (round-5 port to the current lz defaults: the scan
+    # parse + these knobs made DEFLATE 3.1x faster end-to-end in round 3
+    # and were never propagated here — VERDICT r4 weak #4)
+    payload_words: int = 3
+    lags: int = 2
+    sample_step: int = 1
+    parse: str = "scan"  # 'scan' (default) | 'window' (round-2 A/B)
 
     @property
     def out_bytes(self) -> int:
@@ -81,10 +88,18 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
         max_match=cfg.max_match,
         min_emit=SNAPPY_MIN_MATCH,
         max_words=cfg.max_words,
+        payload_words=cfg.payload_words,
+        lags=cfg.lags,
+        sample_step=cfg.sample_step,
     )
-    marked, l = lz.parse_marks(
-        match_len, lengths, window=cfg.window, min_emit=SNAPPY_MIN_MATCH
-    )
+    if cfg.parse == "scan":
+        marked, l = lz.parse_marks_scan(
+            match_len, lengths, min_emit=SNAPPY_MIN_MATCH
+        )
+    else:
+        marked, l = lz.parse_marks(
+            match_len, lengths, window=cfg.window, min_emit=SNAPPY_MIN_MATCH
+        )
     is_match = jnp.logical_and(marked, l > 0)
     is_lit = jnp.logical_and(marked, l == 0)
     i_idx = jnp.broadcast_to(jnp.arange(n, dtype=_I32)[None, :], (b, n))
