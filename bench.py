@@ -377,6 +377,74 @@ def run_stage_staged(batch: int, block_size: int, reps: int, level: int) -> dict
     }
 
 
+def measure_snappy(batch: int = 64, block: int = 65536, reps: int = 8) -> dict:
+    """Snappy-frame encode throughput on device (the reference benches
+    gzip AND snappy, benches/bench.rs:120-150; VERDICT r4 missing #4).
+    Same dispatch-proof chained-fori timing as the mgzip ladder; frames
+    validated with the host frame-decoder oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from gzp_tpu.ops.snappy_kernel import SnappyEncodeConfig, encode_snappy_blocks
+    from gzp_tpu.utils.snappy_ref import decode_frames
+
+    cfg = SnappyEncodeConfig(block)
+    total = batch * block
+    data = np.frombuffer(make_corpus(total), np.uint8).reshape(batch, block)
+    lengths = jnp.asarray(np.full((batch,), block, np.int32))
+    finals = jnp.asarray(np.zeros((batch,), bool))
+    dd = jax.device_put(data)
+    jax.block_until_ready(dd)
+
+    out_shape = jnp.zeros((batch, cfg.out_bytes), jnp.uint8)
+    len_shape = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def chain(d):
+        def body(_, carry):
+            salt, x, _, _ = carry
+            x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
+            res = encode_snappy_blocks(cfg, x, lengths, finals)
+            tot = jnp.sum(res["out_len"]).astype(jnp.uint32)
+            return tot ^ res["check"][0], x, res["out"], res["out_len"]
+
+        salt, _, out, out_len = jax.lax.fori_loop(
+            0, reps, body, (jnp.uint32(0), d, out_shape, len_shape)
+        )
+        return salt, out, out_len
+
+    t0 = time.perf_counter()
+    int(chain(dd)[0])
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        salt, res_out, res_len = chain(dd)
+        int(salt)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    gbps = total / best / 1e9
+
+    out = np.asarray(res_out)
+    out_len = np.asarray(res_len)
+    bad = 0
+    for i in range(0, batch, max(batch // 8, 1)):
+        frame = out[i, : out_len[i]].tobytes()
+        plain = decode_frames(frame)
+        want = data[i].tobytes()
+        if i == 0:
+            plain, want = plain[1:], want[1:]  # timing-chain perturbation byte
+        bad += plain != want
+    if bad:
+        raise AssertionError(f"snappy validation: {bad} bad frames")
+    return {
+        "gbps": round(gbps, 4),
+        "batch": batch,
+        "block": block,
+        "ratio": round(total / int(out_len.sum()), 3),
+        "compile_s": round(compile_s, 1),
+    }
+
+
 def measure_decode() -> dict:
     """Native parallel-decode throughput: ParDecompress over the C++
     inflate pool — the documented decode path (ARCHITECTURE.md §3; the
@@ -445,6 +513,17 @@ def worker(level: int) -> None:
         print(json.dumps({"decode_info": measure_decode()}), flush=True)
     except Exception as e:  # pragma: no cover
         print(json.dumps({"stage_error": f"decode: {e}"[:300]}), flush=True)
+    # snappy rung (round 5): one bounded compile; the reference benches
+    # gzip AND snappy (benches/bench.rs:120-150)
+    try:
+        _signal.alarm(min(stage_budget, 900))
+        print(json.dumps({"snappy_info": measure_snappy()}), flush=True)
+    except _StageTimeout:
+        print(json.dumps({"stage_error": "snappy: stage timeout"}), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"stage_error": f"snappy: {e}"[:300]}), flush=True)
+    finally:
+        _signal.alarm(0)
     for batch, block_size, reps, staged in LADDER:
         try:
             _signal.alarm(stage_budget)
@@ -475,6 +554,7 @@ def supervise(level: int) -> None:
     deadline = time.time() + float(os.environ.get("GZP_BENCH_BUDGET_S", "3000"))
     best: dict | None = None
     decode_info: dict | None = None
+    snappy_info: dict | None = None
     errors: list[str] = []
 
     proc = subprocess.Popen(
@@ -543,8 +623,16 @@ def supervise(level: int) -> None:
                 best.setdefault("extra", {})["decode_native"] = decode_info
             _audit(errors, best)
             continue
+        if "snappy_info" in res:
+            snappy_info = res["snappy_info"]
+            if best is not None:
+                best.setdefault("extra", {})["snappy"] = snappy_info
+            _audit(errors, best)
+            continue
         if decode_info is not None:
             res.setdefault("extra", {})["decode_native"] = decode_info
+        if snappy_info is not None:
+            res.setdefault("extra", {})["snappy"] = snappy_info
         if best is None or (
             res["extra"]["batch_blocks"] * res["extra"]["block_size"]
             >= best["extra"]["batch_blocks"] * best["extra"]["block_size"]
