@@ -1,0 +1,443 @@
+"""Pallas TPU kernels for the LZ77 match-finding stage.
+
+Round-5 finding (scripts/probe_r5_b16.log): halving the match sorts via
+position sampling cut only ~10% of the stage — the cost is NOT sort
+elements, it is the ~60 separate XLA ops around the sorts, each a
+kernel launch plus an HBM round-trip over [B, N] u32 arrays. These
+kernels fuse those op chains into three launches with every
+intermediate VMEM-resident; the two `jax.lax.sort` calls stay in XLA
+(sorting needs lane-dynamic data movement, which Mosaic rejects —
+ARCHITECTURE §7).
+
+  * :func:`build_keys_pallas` — bytes -> (sort key, context payload)
+    (fuses words4 + hash + key packing: ~8 XLA passes)
+  * :func:`neighbor_pallas` — sorted (key, payload) -> packed candidate
+    per sorted slot (fuses per-lag shift/compare/LCP/validity/better:
+    ~30 passes at lags=2)
+  * :func:`match_tail_pallas` — position-ordered packed candidates +
+    bytes -> final (len, dist) (fuses unpack + distance-1 run scan +
+    extension doubling + heuristics + masks: ~50 passes, including a
+    17-step log-shift suffix scan that XLA lowers as separate
+    HBM-round-trip levels)
+
+All shifts are along the flattened row-major (rows, 128) order via
+``pltpu.roll`` + boundary fixups — static lane/sublane rolls only, the
+construct class proven compilable in the round-4 Mosaic bisection
+(scripts/probe_mosaic.log).
+
+Reference role: the hash-chain match finders inside zlib-ng/libdeflate
+(reference Cargo.toml:28-52), redesigned sort-based for a machine with
+no scalar chase loops and ~10 ns/element gathers (ARCHITECTURE §6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gzp_tpu.ops.lz import HASH_MUL, _pos_bits
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+LANES = 128
+
+
+def _rows_for(n: int) -> int:
+    rows = -(-n // LANES)
+    return -(-rows // 8) * 8
+
+
+def _shift_right_flat(x, s):
+    """out[flat i] = x[flat i - s] with zero fill, on a (R, 128) tile."""
+    if s == 0:
+        return x
+    q, m = divmod(s, LANES)
+
+    def down(v, k):
+        if k == 0:
+            return v
+        rolled = pltpu.roll(v, k, 0)
+        row = jax.lax.broadcasted_iota(_I32, v.shape, 0)
+        return jnp.where(row >= k, rolled, jnp.zeros_like(v))
+
+    if m == 0:
+        return down(x, q)
+    a = down(x, q)
+    b = down(x, q + 1)
+    ra = pltpu.roll(a, m, 1)
+    rb = pltpu.roll(b, m, 1)
+    col = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    return jnp.where(col >= m, ra, rb)
+
+
+def _shift_left_flat(x, s):
+    """out[flat i] = x[flat i + s] with zero fill."""
+    if s == 0:
+        return x
+    q, m = divmod(s, LANES)
+
+    def up(v, k):
+        if k == 0:
+            return v
+        rolled = pltpu.roll(v, v.shape[0] - k, 0)  # circular roll by -k
+        row = jax.lax.broadcasted_iota(_I32, v.shape, 0)
+        return jnp.where(row < v.shape[0] - k, rolled, jnp.zeros_like(v))
+
+    if m == 0:
+        return up(x, q)
+    a = up(x, q)
+    b = up(x, q + 1)
+    ra = pltpu.roll(a, LANES - m, 1)  # circular roll by -m
+    rb = pltpu.roll(b, LANES - m, 1)
+    col = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    return jnp.where(col < LANES - m, ra, rb)
+
+
+def _tz_bytes(x):
+    return jnp.where(
+        (x & 0xFF) != 0,
+        0,
+        jnp.where((x & 0xFFFF) != 0, 1, jnp.where((x & 0xFFFFFF) != 0, 2, 3)),
+    ).astype(_I32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: key/payload build
+# ---------------------------------------------------------------------------
+
+
+def _build_keys_kernel(d_ref, key_ref, *pay_refs, pos_bits, payload_words, n):
+    d = d_ref[0].astype(_U32)
+    w4 = (
+        d
+        | (_shift_left_flat(d, 1) << 8)
+        | (_shift_left_flat(d, 2) << 16)
+        | (_shift_left_flat(d, 3) << 24)
+    )
+    row = jax.lax.broadcasted_iota(_I32, d.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, d.shape, 1)
+    pos = (row * LANES + col).astype(_U32)
+    # hash_positions(w4, hash_bits=32-pos_bits) == (w4 * MUL) >> pos_bits
+    h = (w4 * jnp.uint32(HASH_MUL)) >> jnp.uint32(pos_bits)
+    key = (h << jnp.uint32(pos_bits)) | pos
+    # positions beyond n must sort to the end of their hash bucket and
+    # never look like real positions; they keep pos >= n so downstream
+    # validity masks drop them (mirrors XLA zero-padding + masks)
+    key_ref[0] = key
+    pays = [w4]
+    for k in range(1, payload_words):
+        pays.append(_shift_left_flat(w4, 4 * k))
+    for r, p in zip(pay_refs, pays):
+        r[0] = p
+    del n
+
+
+def build_keys_pallas(data_u8, *, pos_bits, payload_words, interpret=False):
+    """bytes [B, N] -> (key [B, Np] u32, payloads list of [B, Np] u32).
+
+    Np pads N up to whole (8, 128) tiles; pad positions carry
+    hash(0-word) keys with pos >= N (dropped by downstream masks exactly
+    like the XLA path's zero padding).
+    """
+    b, n = data_u8.shape
+    rows = _rows_for(n)
+    npad = rows * LANES
+    if npad != n:
+        data_u8 = jnp.concatenate(
+            [data_u8, jnp.zeros((b, npad - n), jnp.uint8)], axis=1
+        )
+    d3 = data_u8.reshape(b, rows, LANES)
+    kern = functools.partial(
+        _build_keys_kernel, pos_bits=pos_bits, payload_words=payload_words, n=n
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(1 + payload_words)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, LANES), _U32)
+            for _ in range(1 + payload_words)
+        ],
+        interpret=interpret,
+    )(d3)
+    key = outs[0].reshape(b, npad)
+    pays = [o.reshape(b, npad) for o in outs[1:]]
+    return key, pays
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: sorted-neighbor candidate evaluation
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
+                     payload_words, sp_out=None):
+    sp_ref, packed_ref = pay_refs[-2], pay_refs[-1]
+    pays = [r[0] for r in pay_refs[:payload_words]]
+    sk = sk_ref[0]
+    lo = lo_ref[0]  # scalar per block
+    pos_mask = jnp.uint32((1 << pos_bits) - 1)
+    sp = (sk & pos_mask).astype(_I32)
+    sh = sk >> jnp.uint32(pos_bits)
+    payload_bytes = 4 * payload_words
+
+    ls = jnp.zeros_like(sp)
+    ds = jnp.zeros_like(sp)
+    cs = jnp.zeros_like(sp, dtype=jnp.bool_)
+    first = True
+    for lag in range(1, lags + 1):
+        cpos = _shift_right_flat(sp, lag)
+        row = jax.lax.broadcasted_iota(_I32, sp.shape, 0)
+        col = jax.lax.broadcasted_iota(_I32, sp.shape, 1)
+        edge = (row * LANES + col) < lag
+        cpos = jnp.where(edge, -1, cpos)
+        csame = jnp.logical_and(
+            ~edge, _shift_right_flat(sh, lag) == sh
+        )
+        dist = sp - cpos
+        valid = jnp.logical_and(
+            jnp.logical_and(csame, cpos >= lo),
+            jnp.logical_and(dist >= 1, dist <= max_dist),
+        )
+        lcp = jnp.full(sp.shape, payload_bytes, _I32)
+        alive = jnp.ones(sp.shape, jnp.bool_)
+        for k, w in enumerate(pays):
+            x = w ^ _shift_right_flat(w, lag)
+            hit = jnp.logical_and(alive, x != 0)
+            lcp = jnp.where(hit, 4 * k + _tz_bytes(x), lcp)
+            alive = jnp.logical_and(alive, x == 0)
+        capped = jnp.logical_and(valid, lcp >= payload_bytes)
+        lcp = jnp.where(valid, lcp, 0)
+        if first:
+            ls, ds, cs = lcp, dist, capped
+            first = False
+        else:
+            a_wins = jnp.logical_or(
+                ls > lcp, jnp.logical_and(ls == lcp, ds < dist)
+            )
+            ls = jnp.where(a_wins, ls, lcp)
+            ds = jnp.where(a_wins, ds, dist)
+            cs = jnp.where(a_wins, cs, capped)
+
+    ds = jnp.where(ls > 0, ds, 0)
+    packed = (
+        ds.astype(_U32)
+        | (ls.astype(_U32) << 17)
+        | (cs.astype(_U32) << 22)
+    )
+    sp_ref[0] = sp.astype(_U32)
+    packed_ref[0] = packed
+    del sp_out
+
+
+def neighbor_pallas(sk, pays, halo_start, *, pos_bits, lags, max_dist,
+                    interpret=False):
+    """sorted key + payloads [B, Np] -> (sp, packed) for the restore sort.
+
+    ``halo_start`` is [B] int32 (minimum valid source position).
+    """
+    b, npad = sk.shape
+    rows = npad // LANES
+    pw = len(pays)
+    kern = functools.partial(
+        _neighbor_kernel, pos_bits=pos_bits, lags=lags, max_dist=max_dist,
+        payload_words=pw,
+    )
+    sp, packed = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(pw)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, LANES), _U32) for _ in range(2)
+        ],
+        interpret=interpret,
+    )(halo_start.astype(_I32), sk.reshape(b, rows, LANES),
+      *[p.reshape(b, rows, LANES) for p in pays])
+    return sp.reshape(b, npad), packed.reshape(b, npad)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: position-order tail (runs, extension, heuristics)
+# ---------------------------------------------------------------------------
+
+
+def _tail_kernel(len_ref, lo_ref, d_ref, packed_ref, ln_ref, dist_ref, *,
+                 n, base, payload_bytes, max_match, min_emit, lazy):
+    d = d_ref[0].astype(_I32)
+    packed = packed_ref[0]
+    length = len_ref[0]
+    lo = lo_ref[0]
+    row = jax.lax.broadcasted_iota(_I32, d.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, d.shape, 1)
+    i_idx = row * LANES + col
+    end = base + length
+    len_limit = end - i_idx
+
+    ln = ((packed >> 17) & 0x1F).astype(_I32)
+    dist = (packed & 0x1FFFF).astype(_I32)
+    capped = (packed >> 22) == 1
+
+    # ---- distance-1 runs: suffix segmented count of eq, exact ----
+    prev = _shift_right_flat(d, 1)
+    eq = jnp.logical_and(d == prev, i_idx >= 1)
+    # run[i] = eq[i] ? 1 + run[i+1] : 0, via log-shift suffix ladder:
+    # carry (count, saturated) — count of leading True from i over a
+    # window of 2^k, then compose
+    cnt = eq.astype(_I32)
+    full = eq  # window is all-True
+    s = 1
+    while s < n:
+        cnt_r = _shift_left_flat(cnt, s)
+        full_r = _shift_left_flat(full.astype(_I32), s) == 1
+        cnt = jnp.where(full, cnt + cnt_r, cnt)
+        full = jnp.logical_and(full, full_r)
+        s *= 2
+    l3 = cnt
+    l3 = jnp.where((i_idx - 1) >= lo, l3, 0)
+    run_wins = jnp.logical_or(l3 > ln, jnp.logical_and(l3 == ln, dist > 1))
+    dist = jnp.where(run_wins, 1, dist)
+    capped = jnp.where(run_wins, False, capped)
+    ln = jnp.where(run_wins, l3, ln)
+
+    # ---- extension doubling ----
+    cap = payload_bytes
+    while cap < max_match:
+        ln_next = _shift_left_flat(ln, cap)
+        dist_next = _shift_left_flat(dist, cap)
+        cap_next = _shift_left_flat(capped.astype(_I32), cap) == 1
+        chain = jnp.logical_and(capped, dist_next == dist)
+        ln = jnp.where(chain, cap + jnp.where(ln_next > 0, ln_next, 0), ln)
+        capped = jnp.logical_and(chain, cap_next)
+        cap *= 2
+
+    ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
+    ln = jnp.where(ln >= min_emit, ln, 0)
+    ln = jnp.where(jnp.logical_and(ln == 3, dist > 4096), 0, ln)
+    valid_pos = jnp.logical_and(i_idx >= base, i_idx < end)
+    ln = jnp.where(valid_pos, ln, 0)
+
+    if lazy:
+        ln_next = _shift_left_flat(ln, 1)
+        demote = jnp.logical_and(
+            ln > 0, jnp.logical_and(ln < 32, ln_next > ln)
+        )
+        ln = jnp.where(demote, 0, ln)
+
+    ln_ref[0] = ln
+    dist_ref[0] = dist
+
+
+def match_tail_pallas(data_u8, packed_pos, lengths, halo_start, *, base,
+                      payload_bytes, max_match, min_emit, lazy,
+                      interpret=False):
+    """(bytes, restored packed candidates) -> final (match_len, match_dist).
+
+    ``packed_pos`` is [B, Np]; outputs are [B, N] (pad sliced off).
+    """
+    b, n = data_u8.shape
+    rows = _rows_for(n)
+    npad = rows * LANES
+    if npad != n:
+        data_u8 = jnp.concatenate(
+            [data_u8, jnp.zeros((b, npad - n), jnp.uint8)], axis=1
+        )
+    kern = functools.partial(
+        _tail_kernel, n=npad, base=base, payload_bytes=payload_bytes,
+        max_match=max_match, min_emit=min_emit, lazy=lazy,
+    )
+    ln, dist = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, LANES), _I32) for _ in range(2)
+        ],
+        interpret=interpret,
+    )(lengths.astype(_I32), halo_start.astype(_I32),
+      data_u8.reshape(b, rows, LANES),
+      packed_pos.reshape(b, rows, LANES))
+    return ln.reshape(b, npad)[:, :n], dist.reshape(b, npad)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Full matcher: XLA sorts + Pallas everything-else
+# ---------------------------------------------------------------------------
+
+
+def best_matches_pallas(
+    data_u8,
+    lengths,
+    *,
+    max_dist: int,
+    max_match: int,
+    min_emit: int,
+    base: int = 0,
+    halo_start=None,
+    lazy: bool = False,
+    payload_words: int = 3,
+    lags: int = 2,
+    interpret: bool = False,
+):
+    """Drop-in for :func:`gzp_tpu.ops.lz.best_matches` (hash matcher,
+    no hash3/suffix/sampling) with the op soup fused into three Pallas
+    launches. Bit-identical output (tests/test_lz_pallas.py)."""
+    b, n_ext = data_u8.shape
+    pos_bits = _pos_bits(n_ext)
+    if halo_start is None:
+        halo_start = jnp.zeros((b,), _I32)
+    key, pays = build_keys_pallas(
+        data_u8, pos_bits=pos_bits, payload_words=payload_words,
+        interpret=interpret,
+    )
+    sorted_ops = jax.lax.sort((key, *pays), dimension=1, num_keys=1)
+    sp, packed = neighbor_pallas(
+        sorted_ops[0], list(sorted_ops[1:]), halo_start,
+        pos_bits=pos_bits, lags=lags, max_dist=max_dist,
+        interpret=interpret,
+    )
+    _, packed_pos = jax.lax.sort((sp, packed), dimension=1, num_keys=1)
+    ln, dist = match_tail_pallas(
+        data_u8, packed_pos, lengths, halo_start, base=base,
+        payload_bytes=4 * payload_words, max_match=max_match,
+        min_emit=min_emit, lazy=lazy, interpret=interpret,
+    )
+    return ln, dist
