@@ -24,12 +24,13 @@ def _corpus(nbytes: int) -> bytes:
     return make_corpus(nbytes)
 
 
-# measured (64 KiB blocks, bench corpus, round 4 — suffix matcher at
-# levels >= 6, benches/ratio_r4.log): level 1 = 0.967, 3 = 1.005,
-# 6 = 1.026, 9 = 1.021 — bounds leave <1% headroom so any regression of
-# the RLE header, match search, or suffix candidate ranking fails loudly
+# measured (64 KiB blocks, bench corpus, round 5 — suffix matcher with
+# the adopted lags=16 at level 6 / lags=24 at level 9): level 1 = 0.967,
+# 3 = 1.005, 6 = 0.988 (BETTER than zlib-6), 9 = 1.0004 — bounds leave
+# ~1% headroom so any regression of the RLE header, match search, or
+# suffix candidate ranking fails loudly
 @pytest.mark.parametrize(
-    "level,bound", [(3, 1.02), (1, 0.98), (6, 1.035), (9, 1.03)]
+    "level,bound", [(3, 1.02), (1, 0.98), (6, 1.005), (9, 1.01)]
 )
 def test_size_vs_zlib_bound(level, bound):
     block = 65536
