@@ -189,7 +189,7 @@ def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
     sp_ref, packed_ref = pay_refs[-2], pay_refs[-1]
     pays = [r[0] for r in pay_refs[:payload_words]]
     sk = sk_ref[0]
-    lo = lo_ref[0]  # scalar per block
+    lo = lo_ref[pl.program_id(0)]  # whole-array SMEM input, one per block
     pos_mask = jnp.uint32((1 << pos_bits) - 1)
     sp = (sk & pos_mask).astype(_I32)
     sh = sk >> jnp.uint32(pos_bits)
@@ -261,7 +261,7 @@ def neighbor_pallas(sk, pays, halo_start, *, pos_bits, lags, max_dist,
         kern,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] array
             pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
@@ -292,8 +292,8 @@ def _tail_kernel(len_ref, lo_ref, d_ref, packed_ref, ln_ref, dist_ref, *,
                  n, base, payload_bytes, max_match, min_emit, lazy):
     d = d_ref[0].astype(_I32)
     packed = packed_ref[0]
-    length = len_ref[0]
-    lo = lo_ref[0]
+    length = len_ref[pl.program_id(0)]  # whole-array SMEM inputs
+    lo = lo_ref[pl.program_id(0)]
     row = jax.lax.broadcasted_iota(_I32, d.shape, 0)
     col = jax.lax.broadcasted_iota(_I32, d.shape, 1)
     i_idx = row * LANES + col
@@ -376,8 +376,8 @@ def match_tail_pallas(data_u8, packed_pos, lengths, halo_start, *, base,
         kern,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] arrays
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),

@@ -62,7 +62,7 @@ def _shift_right_rows(x, s):
     return jnp.where(row >= s, rolled, jnp.zeros_like(x))
 
 
-def _kernel(bits_ref, nbits_ref, key_ref, val_ref, total_ref, *, rows, base_bits, e_valid):
+def _kernel(bits_ref, nbits_ref, key_ref, val_ref, *, rows, base_bits, e_valid):
     v = bits_ref[0]
     nb = nbits_ref[0]
     inf = jnp.uint32(0xFFFFFFFF)
@@ -160,7 +160,6 @@ def _kernel(bits_ref, nbits_ref, key_ref, val_ref, total_ref, *, rows, base_bits
 
     key_ref[0] = key
     val_ref[0] = val
-    total_ref[0, 0] = jnp.sum(jnp.where(is_tail, bitpos, 0))
 
 
 def pack_prescan_pallas(bits, nbits, base_bits: int, interpret: bool = False):
@@ -189,7 +188,7 @@ def pack_prescan_pallas(bits, nbits, base_bits: int, interpret: bool = False):
     kern = functools.partial(
         _kernel, rows=rows, base_bits=base_bits, e_valid=ev
     )
-    key3, val3, tot = pl.pallas_call(
+    key3, val3 = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
@@ -203,19 +202,20 @@ def pack_prescan_pallas(bits, nbits, base_bits: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, rows, LANES), _U32),
             jax.ShapeDtypeStruct((b, rows, LANES), _U32),
-            jax.ShapeDtypeStruct((b, 1), _I32),
         ],
         interpret=interpret,
     )(v3, nb3)
+    # total bits is a cheap XLA reduction (a (1, 1) SMEM output block
+    # fails the Mosaic block-shape divisibility rule)
+    total_bits = base_bits + jnp.sum(nbits, axis=1)
     return (
         key3.reshape(b, ep),
         val3.reshape(b, ep),
-        tot[:, 0],
+        total_bits.astype(_I32),
     )
 
 

@@ -334,4 +334,47 @@ if not ONLY or "snappy" in ONLY:
         except Exception as e:  # noqa: BLE001
             log(f"{nm:26s} FAILED: {e!r:.200}")
 
+# ---- sort batch-scaling: explain the B=64 encode ceiling (VERDICT
+# r4 weak #1) — if the placement/candidate sorts stop improving past
+# B=64, the whole "sorts improve with batch" law saturates there ----
+if not ONLY or "sortscale" in ONLY:
+    for SBATCH in (16, 32, 64, 128):
+        try:
+            rngs = np.random.default_rng(5)
+            ks = jnp.asarray(
+                rngs.integers(0, 1 << 32, (SBATCH, N), dtype=np.int64).astype(np.uint32)
+            )
+            vs = jnp.asarray(
+                rngs.integers(0, 1 << 32, (SBATCH, N), dtype=np.int64).astype(np.uint32)
+            )
+            ks = jax.device_put(ks); vs = jax.device_put(vs)
+            jax.block_until_ready(ks)
+
+            def run(k, v):
+                def it(_, carry):
+                    salt, kk = carry
+                    kk = kk.at[0, 0].set(kk[0, 0] ^ (salt & 1))
+                    sk, sv = jax.lax.sort((kk, v), dimension=1, num_keys=1)
+                    return digest32(sv) ^ sk[0, 0] ^ salt, kk
+
+                salt, _ = jax.lax.fori_loop(0, REPS, it, (jnp.uint32(0), k))
+                return salt
+
+            f = jax.jit(run)
+            t0 = time.time()
+            int(f(ks, vs))
+            compile_s = time.time() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                int(f(ks, vs))
+                best = min(best, (time.time() - t0) / REPS)
+            log(
+                f"sort2op_B{SBATCH:<4d}             compile {compile_s:6.1f}s"
+                f"  per-iter {best * 1e3:8.2f} ms"
+                f"  {best / (SBATCH * N) * 1e9:6.3f} ns/elem"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"sort2op_B{SBATCH} FAILED: {e!r:.200}")
+
 log("done")
