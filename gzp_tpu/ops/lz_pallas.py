@@ -48,6 +48,13 @@ _I32 = jnp.int32
 LANES = 128
 
 
+def _auto_interpret(flag: bool) -> bool:
+    """Pallas has no CPU lowering: on the cpu backend (the virtual test
+    mesh) run kernels in interpret mode automatically so the Pallas
+    path can be a production default without a backend switch."""
+    return flag or jax.default_backend() == "cpu"
+
+
 def _rows_for(n: int) -> int:
     rows = -(-n // LANES)
     return -(-rows // 8) * 8
@@ -145,6 +152,7 @@ def build_keys_pallas(data_u8, *, pos_bits, payload_words, interpret=False):
     hash(0-word) keys with pos >= N (dropped by downstream masks exactly
     like the XLA path's zero padding).
     """
+    interpret = _auto_interpret(interpret)
     b, n = data_u8.shape
     rows = _rows_for(n)
     npad = rows * LANES
@@ -195,9 +203,12 @@ def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
     sh = sk >> jnp.uint32(pos_bits)
     payload_bytes = 4 * payload_words
 
+    # NOTE: selected-through flags are carried as int32 — jnp.where with
+    # BOOL payload operands fails the Mosaic remote compile (HTTP 500,
+    # bisected round 5; conditions may be bool, payloads may not)
     ls = jnp.zeros_like(sp)
     ds = jnp.zeros_like(sp)
-    cs = jnp.zeros_like(sp, dtype=jnp.bool_)
+    cs = jnp.zeros_like(sp)
     first = True
     for lag in range(1, lags + 1):
         cpos = _shift_right_flat(sp, lag)
@@ -220,7 +231,7 @@ def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
             hit = jnp.logical_and(alive, x != 0)
             lcp = jnp.where(hit, 4 * k + _tz_bytes(x), lcp)
             alive = jnp.logical_and(alive, x == 0)
-        capped = jnp.logical_and(valid, lcp >= payload_bytes)
+        capped = jnp.logical_and(valid, lcp >= payload_bytes).astype(_I32)
         lcp = jnp.where(valid, lcp, 0)
         if first:
             ls, ds, cs = lcp, dist, capped
@@ -250,6 +261,7 @@ def neighbor_pallas(sk, pays, halo_start, *, pos_bits, lags, max_dist,
 
     ``halo_start`` is [B] int32 (minimum valid source position).
     """
+    interpret = _auto_interpret(interpret)
     b, npad = sk.shape
     rows = npad // LANES
     pw = len(pays)
@@ -323,7 +335,9 @@ def _tail_kernel(len_ref, lo_ref, d_ref, packed_ref, ln_ref, dist_ref, *,
     l3 = jnp.where((i_idx - 1) >= lo, l3, 0)
     run_wins = jnp.logical_or(l3 > ln, jnp.logical_and(l3 == ln, dist > 1))
     dist = jnp.where(run_wins, 1, dist)
-    capped = jnp.where(run_wins, False, capped)
+    # bool payloads in jnp.where fail the Mosaic compile (see
+    # _neighbor_kernel) — mask the flag in integer space
+    capped = jnp.logical_and(~run_wins, capped)
     ln = jnp.where(run_wins, l3, ln)
 
     # ---- extension doubling ----
@@ -361,6 +375,7 @@ def match_tail_pallas(data_u8, packed_pos, lengths, halo_start, *, base,
 
     ``packed_pos`` is [B, Np]; outputs are [B, N] (pad sliced off).
     """
+    interpret = _auto_interpret(interpret)
     b, n = data_u8.shape
     rows = _rows_for(n)
     npad = rows * LANES

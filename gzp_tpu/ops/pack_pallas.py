@@ -162,6 +162,12 @@ def _kernel(bits_ref, nbits_ref, key_ref, val_ref, *, rows, base_bits, e_valid):
     val_ref[0] = val
 
 
+def _auto_interpret(flag: bool) -> bool:
+    """Pallas has no CPU lowering: on the cpu backend (the virtual test
+    mesh) run the kernel in interpret mode automatically."""
+    return flag or jax.default_backend() == "cpu"
+
+
 def pack_prescan_pallas(bits, nbits, base_bits: int, interpret: bool = False):
     """Fused pre-sort pipeline of :func:`pack_entries_sortscan`.
 
@@ -175,6 +181,7 @@ def pack_prescan_pallas(bits, nbits, base_bits: int, interpret: bool = False):
     tile; trailing pad carries key == 0xFFFFFFFF so the caller's
     placement sort drops it like the XLA version's pad.
     """
+    interpret = _auto_interpret(interpret)
     b, e = bits.shape
     ev = e + 1  # + zero-width tail entry
     rows = max(-(-ev // LANES), 8)

@@ -1,0 +1,112 @@
+"""Bit-equivalence of the Pallas kernels against their XLA formulations.
+
+The kernels run in interpret mode on the CPU mesh (auto-selected — the
+Mosaic lowering is TPU-only); on-device equivalence is re-checked by
+scripts/probe_r5_match.py. Mirrors tests/test_pack_sortscan.py's
+equivalence strategy for the round-4 packer.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gzp_tpu.ops import lz
+from gzp_tpu.ops.deflate_kernel import pack_entries_sortscan
+from gzp_tpu.ops.lz_pallas import best_matches_pallas
+from gzp_tpu.ops.pack_pallas import pack_entries_sortscan_pallas
+
+
+def _corpus(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"the quick brown fox ", b"jumps over the lazy dog ",
+             b"pack my box with five dozen liquor jugs "]
+    out, total = [], 0
+    while total < n:
+        w = words[rng.integers(0, len(words))]
+        out.append(w)
+        total += len(w)
+    return b"".join(out)[:n]
+
+
+@pytest.mark.parametrize("pw,lags", [(3, 2), (2, 4), (2, 1)])
+def test_match_pallas_equals_xla(pw, lags):
+    B, N = 2, 8192  # aligned to (8, 128) tiles: exact equality holds
+    data = np.frombuffer(_corpus(B * N), np.uint8).reshape(B, N)
+    lengths = jnp.asarray(np.array([N, N - 321], np.int32))
+    kw = dict(max_dist=32768, max_match=258, min_emit=3, lazy=True,
+              payload_words=pw, lags=lags)
+    ln1, d1 = jax.jit(lambda d: lz.best_matches(d, lengths, **kw))(data)
+    ln2, d2 = best_matches_pallas(jnp.asarray(data), lengths, **kw)
+    ln1, d1, ln2, d2 = map(np.asarray, (ln1, d1, ln2, d2))
+    assert np.array_equal(ln1, ln2)
+    assert np.array_equal(d1[ln1 > 0], d2[ln1 > 0])
+
+
+def test_match_pallas_halo():
+    B, N, BASE = 2, 6144, 2048
+    blob = np.frombuffer(_corpus(B * (N + BASE), seed=3), np.uint8).reshape(
+        B, N + BASE
+    )
+    lengths = jnp.asarray(np.array([N, N - 55], np.int32))
+    hs = jnp.asarray(np.array([0, 1024], np.int32))
+    kw = dict(max_dist=32768, max_match=258, min_emit=3, lazy=True,
+              payload_words=3, lags=2, base=BASE)
+    ln1, d1 = jax.jit(
+        lambda d: lz.best_matches(d, lengths, halo_start=hs, **kw)
+    )(blob)
+    ln2, d2 = best_matches_pallas(
+        jnp.asarray(blob), lengths, halo_start=hs, **kw
+    )
+    assert np.array_equal(np.asarray(ln1), np.asarray(ln2))
+
+
+def test_pack_pallas_equals_xla():
+    rng = np.random.default_rng(1)
+    B, E = 3, 5000  # unaligned entry count exercises the pad path
+    nb = rng.integers(0, 32, (B, E)).astype(np.int32)
+    nb[rng.random((B, E)) < 0.5] = 0
+    bits = rng.integers(0, 1 << 31, (B, E), dtype=np.int64).astype(np.uint32)
+    bits = np.where(
+        nb > 0,
+        bits & ((1 << np.minimum(nb, 31)) - 1).astype(np.uint32),
+        0,
+    ).astype(np.uint32)
+    for base_bits in (0, 160):
+        ow = (int(nb.sum(1).max()) + base_bits + 31) // 32 + 8
+        w1, t1 = jax.jit(
+            lambda b_, n_, bb=base_bits, o=ow: pack_entries_sortscan(b_, n_, bb, o)
+        )(bits, nb)
+        w2, t2 = pack_entries_sortscan_pallas(
+            jnp.asarray(bits), jnp.asarray(nb), base_bits, ow
+        )
+        assert np.array_equal(np.asarray(t1), np.asarray(t2))
+        assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_full_encoder_with_pallas_match():
+    """End-to-end: pallas_match=True members decode with stdlib gzip."""
+    import dataclasses
+    import gzip
+
+    from gzp_tpu.ops.deflate_kernel import (
+        DeflateEncodeConfig,
+        encode_deflate_blocks,
+    )
+
+    B, N = 2, 16384
+    data = np.frombuffer(_corpus(B * N, seed=9), np.uint8).reshape(B, N)
+    cfg = dataclasses.replace(
+        DeflateEncodeConfig.for_level(N, "mgzip", "none", 3), pallas_match=True
+    )
+    res = encode_deflate_blocks(
+        cfg,
+        jnp.asarray(data),
+        jnp.full((B,), N, jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    out = np.asarray(res["out"])
+    ol = np.asarray(res["out_len"])
+    for i in range(B):
+        assert gzip.decompress(out[i, : ol[i]].tobytes()) == data[i].tobytes()
