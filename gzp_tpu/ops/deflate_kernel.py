@@ -174,11 +174,21 @@ class DeflateEncodeConfig:
                 if block_len % cand == 0 and block_len // cand >= 65536:
                     sub = cand
                     break
+        # Pallas fusion is the production default off-CPU (round 5:
+        # match 4.40 vs 6.56 ns/B, ~10x smaller compiles, device
+        # bit-equivalence — scripts/probe_r5_pallas2.log). The CPU mesh
+        # (tests) keeps the XLA formulation: interpret-mode kernels are
+        # only for equivalence tests, far too slow as a default there.
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() != "cpu"
         return cls(
             block_len=block_len, mode=mode, checksum=checksum, level=level,
             window=win, lazy=lazy, dynamic=True,
             payload_words=pw, lags=lg, dict_size=dict_size, hash3=h3,
             subblocks=sub, matcher="suffix" if level >= 6 else "hash",
+            pallas_match=use_pallas,
+            pack="sortscan_pallas" if use_pallas else "sortscan",
         )
 
     @property
@@ -761,7 +771,7 @@ def emit_stage(
 
     hdr_bits = 8 * cfg.header_len
 
-    if cfg.pack in ("group8", "sortscan"):
+    if cfg.pack in ("group8", "sortscan", "sortscan_pallas"):
         # per sub-block: [deflate hdr (+dyn tables)][tokens][EOB], then
         # sub-blocks concatenate in order within each gzp block
         # (entries obey: bits < 2**nbits)
@@ -769,7 +779,16 @@ def emit_stage(
         sub_n = jnp.concatenate([hfield_n, nbits], axis=1)
         all_bits = sub_bits.reshape(b, -1)
         all_n = sub_n.reshape(b, -1)
-        if cfg.pack == "sortscan":
+        if cfg.pack == "sortscan_pallas":
+            # fused pre-sort pipeline in one Pallas launch: measured
+            # 3.38 vs 4.64 ns/B isolated at B=16 and a ~15x smaller
+            # compile (scripts/probe_r5_pallas.log); bit-identical
+            from gzp_tpu.ops.pack_pallas import pack_entries_sortscan_pallas
+
+            words, total_bits = pack_entries_sortscan_pallas(
+                all_bits, all_n, hdr_bits, cfg.out_words
+            )
+        elif cfg.pack == "sortscan":
             words, total_bits = pack_entries_sortscan(
                 all_bits, all_n, hdr_bits, cfg.out_words
             )

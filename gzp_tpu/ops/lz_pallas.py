@@ -36,7 +36,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -193,7 +192,7 @@ def build_keys_pallas(data_u8, *, pos_bits, payload_words, interpret=False):
 
 
 def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
-                     payload_words, sp_out=None):
+                     payload_words):
     sp_ref, packed_ref = pay_refs[-2], pay_refs[-1]
     pays = [r[0] for r in pay_refs[:payload_words]]
     sk = sk_ref[0]
@@ -252,7 +251,6 @@ def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
     )
     sp_ref[0] = sp.astype(_U32)
     packed_ref[0] = packed
-    del sp_out
 
 
 def neighbor_pallas(sk, pays, halo_start, *, pos_bits, lags, max_dist,

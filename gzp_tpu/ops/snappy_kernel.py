@@ -58,6 +58,9 @@ class SnappyEncodeConfig:
     lags: int = 2
     sample_step: int = 1
     parse: str = "scan"  # 'scan' (default) | 'window' (round-2 A/B)
+    # None = auto: fused Pallas matcher+packer off-CPU (round-5 default,
+    # like DeflateEncodeConfig.for_level), XLA formulation on the CPU mesh
+    pallas: bool | None = None
 
     @property
     def out_bytes(self) -> int:
@@ -81,17 +84,33 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     b, n = data_u8.shape
     assert n == cfg.block_len and n <= SNAPPY_MAX_CHUNK
 
-    match_len, match_dist = lz.best_matches(
-        data_u8,
-        lengths,
-        max_dist=SNAPPY_MAX_CHUNK - 1,
-        max_match=cfg.max_match,
-        min_emit=SNAPPY_MIN_MATCH,
-        max_words=cfg.max_words,
-        payload_words=cfg.payload_words,
-        lags=cfg.lags,
-        sample_step=cfg.sample_step,
-    )
+    use_pallas = cfg.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas and cfg.sample_step == 1:
+        from gzp_tpu.ops.lz_pallas import best_matches_pallas
+
+        match_len, match_dist = best_matches_pallas(
+            data_u8,
+            lengths,
+            max_dist=SNAPPY_MAX_CHUNK - 1,
+            max_match=cfg.max_match,
+            min_emit=SNAPPY_MIN_MATCH,
+            payload_words=cfg.payload_words,
+            lags=cfg.lags,
+        )
+    else:
+        match_len, match_dist = lz.best_matches(
+            data_u8,
+            lengths,
+            max_dist=SNAPPY_MAX_CHUNK - 1,
+            max_match=cfg.max_match,
+            min_emit=SNAPPY_MIN_MATCH,
+            max_words=cfg.max_words,
+            payload_words=cfg.payload_words,
+            lags=cfg.lags,
+            sample_step=cfg.sample_step,
+        )
     if cfg.parse == "scan":
         marked, l = lz.parse_marks_scan(
             match_len, lengths, min_emit=SNAPPY_MIN_MATCH
@@ -176,9 +195,16 @@ def encode_snappy_blocks(cfg: SnappyEncodeConfig, data_u8, lengths, is_final):
     all_bits = jnp.concatenate([ventry[:, None], entry], axis=1)
     all_n = jnp.concatenate([(8 * varint_len)[:, None], width], axis=1)
     out_words = cfg.out_bytes // 4
-    words, total_bits = pack_entries_sortscan(
-        all_bits, all_n, 8 * _HDR, out_words
-    )
+    if use_pallas:
+        from gzp_tpu.ops.pack_pallas import pack_entries_sortscan_pallas
+
+        words, total_bits = pack_entries_sortscan_pallas(
+            all_bits, all_n, 8 * _HDR, out_words
+        )
+    else:
+        words, total_bits = pack_entries_sortscan(
+            all_bits, all_n, 8 * _HDR, out_words
+        )
     elem_total = (total_bits >> 3) - _HDR - varint_len
     out = jnp.stack(
         [words & 0xFF, (words >> 8) & 0xFF, (words >> 16) & 0xFF, (words >> 24) & 0xFF],

@@ -159,7 +159,7 @@ timeit("full_pw2_lags4", full_body(1, 2, lags=4))
 timeit("match_pw2_lags3", match_body(1, 2, lags=3))
 
 # ---- Pallas matcher: sorts in XLA, op soup fused (round 5) ----
-if not ONLY or {"match_pallas", "full_pallas"} & ONLY:
+if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2"} & ONLY:
     from gzp_tpu.ops.lz_pallas import best_matches_pallas
 
     def match_pallas_body(pw, lags):
@@ -185,6 +185,59 @@ if not ONLY or {"match_pallas", "full_pallas"} & ONLY:
         return body
 
     timeit("full_pallas", full_pallas_body())
+
+    def full_pp_body():
+        cfg = dataclasses.replace(
+            cfg0, pallas_match=True, pack="sortscan_pallas"
+        )
+
+        def body(d):
+            res = encode_deflate_blocks(cfg, d, dl, df)
+            return jnp.sum(res["out_len"]).astype(jnp.uint32) ^ res["check"][0]
+
+        return body
+
+    timeit("full_pp", full_pp_body())
+
+    def full_pp_pw2_body():
+        cfg = dataclasses.replace(
+            cfg0, pallas_match=True, pack="sortscan_pallas",
+            payload_words=2, lags=4,
+        )
+
+        def body(d):
+            res = encode_deflate_blocks(cfg, d, dl, df)
+            return jnp.sum(res["out_len"]).astype(jnp.uint32) ^ res["check"][0]
+
+        return body
+
+    if not ONLY or "full_pp_pw2" in ONLY:
+        timeit("full_pp_pw2", full_pp_pw2_body())
+
+    def validate_pp():
+        import gzip as _gzip
+
+        cfg = dataclasses.replace(
+            cfg0, pallas_match=True, pack="sortscan_pallas"
+        )
+        res = jax.jit(lambda d: encode_deflate_blocks(cfg, d, dl, df))(dd)
+        out = np.asarray(res["out"])
+        ol = np.asarray(res["out_len"])
+        bad = 0
+        for i in range(0, B, max(B // 8, 1)):
+            m = out[i, : ol[i]].tobytes()
+            try:
+                ok = _gzip.decompress(m) == data[i].tobytes()
+            except Exception:
+                ok = False
+            bad += not ok
+        log(f"validate_pp                bad_members {bad}")
+
+    if not ONLY or "full_pp" in ONLY:
+        try:
+            validate_pp()
+        except Exception as e:  # noqa: BLE001
+            log(f"validate_pp FAILED: {e!r:.200}")
     if not ONLY or "match_pallas" in ONLY:
         try:
             # equivalence: run raw functions once each

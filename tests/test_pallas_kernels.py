@@ -110,3 +110,27 @@ def test_full_encoder_with_pallas_match():
     ol = np.asarray(res["out_len"])
     for i in range(B):
         assert gzip.decompress(out[i, : ol[i]].tobytes()) == data[i].tobytes()
+
+
+def test_snappy_pallas_path():
+    """Snappy with the fused Pallas matcher+packer decodes identically."""
+    from gzp_tpu.ops.snappy_kernel import SnappyEncodeConfig, encode_snappy_blocks
+    from gzp_tpu.utils.snappy_ref import decode_frames
+
+    B, N = 2, 16384
+    data = np.frombuffer(_corpus(B * N, seed=17), np.uint8).reshape(B, N)
+    lengths = jnp.full((B,), N, jnp.int32)
+    finals = jnp.zeros((B,), bool)
+    res_p = encode_snappy_blocks(
+        SnappyEncodeConfig(N, pallas=True), jnp.asarray(data), lengths, finals
+    )
+    out = np.asarray(res_p["out"])
+    ol = np.asarray(res_p["out_len"])
+    for i in range(B):
+        assert decode_frames(out[i, : ol[i]].tobytes()) == data[i].tobytes()
+    # byte-identical to the XLA formulation
+    res_x = encode_snappy_blocks(
+        SnappyEncodeConfig(N, pallas=False), jnp.asarray(data), lengths, finals
+    )
+    assert np.array_equal(np.asarray(res_x["out_len"]), ol)
+    assert np.array_equal(np.asarray(res_x["out"]), np.asarray(res_p["out"]))
