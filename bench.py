@@ -166,43 +166,39 @@ def run_stage(batch: int, block_size: int, reps: int, level: int) -> dict:
     df = jax.device_put(finals)
     jax.block_until_ready(dd)
 
-    # ONE compiled program: the timing chain also carries the final
-    # iteration's framed outputs so validation needs no second compile
-    # (remote compiles on this backend are minutes; see ARCHITECTURE §5)
-    out_shape = jnp.zeros((batch, cfg.out_bytes), jnp.uint8)
-    len_shape = jnp.zeros((batch,), jnp.int32)
-
+    # Timing chain does NOT carry the framed output buffers through the
+    # loop (round-5 fix: the carried [B, out_bytes] arrays cost ~25% of
+    # measured throughput — 84.7 vs 61.8 ms/batch at 64x128KiB); a
+    # separate jit fetches outputs for validation. The second compile
+    # is affordable since the Pallas kernels cut compiles to ~25 s
+    # (scripts/probe_r5_pp64.log; was minutes-to-hours, round 4).
     @jax.jit
     def chain(d):
         def body(_, carry):
-            salt, x, _, _ = carry
+            salt, x = carry
             x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
             res = encode_deflate_blocks(cfg, x, dl, df)
             tot = jnp.sum(res["out_len"]).astype(jnp.uint32)
-            return tot ^ res["check"][0], x, res["out"], res["out_len"]
+            return tot ^ res["check"][0], x
 
-        salt, _, out, out_len = jax.lax.fori_loop(
-            0, reps, body, (jnp.uint32(0), d, out_shape, len_shape)
-        )
-        return salt, out, out_len
+        salt, _ = jax.lax.fori_loop(0, reps, body, (jnp.uint32(0), d))
+        return salt
 
     t0 = time.perf_counter()
-    int(chain(dd)[0])
+    int(chain(dd))
     compile_s = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        salt, res_out, res_len = chain(dd)
-        int(salt)
+        int(chain(dd))
         best = min(best, (time.perf_counter() - t0) / reps)
     gbps = batch_bytes / best / 1e9
 
-    # correctness + size: gzip-decode members from the last chain iteration
-    # (block 0's first byte carries the chain's data-dependent perturbation,
-    # so it is validated on all bytes but that one)
-    out = np.asarray(res_out)
-    out_len = np.asarray(res_len)
+    # correctness + size: one un-chained encode, gzip-decode members
+    res = jax.jit(lambda d: encode_deflate_blocks(cfg, d, dl, df))(dd)
+    out = np.asarray(res["out"])
+    out_len = np.asarray(res["out_len"])
     total_out = int(out_len.sum())
     anomalies = _validate_members(out, out_len, data, batch, f"{batch}x{block_size}")
 
@@ -396,44 +392,36 @@ def measure_snappy(batch: int = 64, block: int = 65536, reps: int = 8) -> dict:
     dd = jax.device_put(data)
     jax.block_until_ready(dd)
 
-    out_shape = jnp.zeros((batch, cfg.out_bytes), jnp.uint8)
-    len_shape = jnp.zeros((batch,), jnp.int32)
-
     @jax.jit
     def chain(d):
         def body(_, carry):
-            salt, x, _, _ = carry
+            salt, x = carry
             x = x.at[0, 0].set((x[0, 0].astype(jnp.uint32) ^ (salt & 1)).astype(jnp.uint8))
             res = encode_snappy_blocks(cfg, x, lengths, finals)
             tot = jnp.sum(res["out_len"]).astype(jnp.uint32)
-            return tot ^ res["check"][0], x, res["out"], res["out_len"]
+            return tot ^ res["check"][0], x
 
-        salt, _, out, out_len = jax.lax.fori_loop(
-            0, reps, body, (jnp.uint32(0), d, out_shape, len_shape)
-        )
-        return salt, out, out_len
+        salt, _ = jax.lax.fori_loop(0, reps, body, (jnp.uint32(0), d))
+        return salt
 
     t0 = time.perf_counter()
-    int(chain(dd)[0])
+    int(chain(dd))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        salt, res_out, res_len = chain(dd)
-        int(salt)
+        int(chain(dd))
         best = min(best, (time.perf_counter() - t0) / reps)
     gbps = total / best / 1e9
 
-    out = np.asarray(res_out)
-    out_len = np.asarray(res_len)
+    # validation: one un-chained encode (second compile, ~25 s Pallas)
+    res = jax.jit(lambda d: encode_snappy_blocks(cfg, d, lengths, finals))(dd)
+    out = np.asarray(res["out"])
+    out_len = np.asarray(res["out_len"])
     bad = 0
     for i in range(0, batch, max(batch // 8, 1)):
         frame = out[i, : out_len[i]].tobytes()
-        plain = decode_frames(frame)
-        want = data[i].tobytes()
-        if i == 0:
-            plain, want = plain[1:], want[1:]  # timing-chain perturbation byte
-        bad += plain != want
+        bad += decode_frames(frame) != data[i].tobytes()
     if bad:
         raise AssertionError(f"snappy validation: {bad} bad frames")
     return {

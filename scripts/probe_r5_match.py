@@ -12,6 +12,7 @@ Stages default to all; pass names to run a subset, e.g.
   python scripts/probe_r5_match.py 32 131072 match_ss2 full_ss2 snappy
 """
 
+import os
 import sys
 import time
 
@@ -44,7 +45,7 @@ from gzp_tpu.ops.deflate_kernel import (  # noqa: E402
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
 ONLY = set(sys.argv[3:])
-REPS = 8
+REPS = int(os.environ.get("GZP_PROBE_REPS", "8"))
 LEVEL = 3
 
 cfg0 = DeflateEncodeConfig.for_level(N, "mgzip", "none", LEVEL)
