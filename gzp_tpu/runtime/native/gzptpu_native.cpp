@@ -404,8 +404,11 @@ int inflate_impl(const uint8_t *in, size_t in_len, uint8_t *out,
         if (kind == kKindLit) {
           if (o >= out_cap) return kErrOverflow;
           out[o++] = static_cast<uint8_t>(e >> 16);
-          // up to two more literals ride the same refill (3 x 15 <= 56)
-          for (int k = 0; k < 2; k++) {
+          // keep decoding literals while a full-width peek is buffered
+          // (typical 8-9 bit codes yield ~4-6 literals per refill);
+          // breaks WITHOUT consuming on any non-literal so the outer
+          // loop re-decodes it after a refill
+          while (br.cnt >= kMaxBits) {
             b32 = static_cast<uint32_t>(br.buf);
             e = lit->root[b32 & kLitRootMask];
             if ((e & kKindMask) == kKindSub)
