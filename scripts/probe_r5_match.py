@@ -160,7 +160,8 @@ timeit("full_pw2_lags4", full_body(1, 2, lags=4))
 timeit("match_pw2_lags3", match_body(1, 2, lags=3))
 
 # ---- Pallas matcher: sorts in XLA, op soup fused (round 5) ----
-if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2"} & ONLY:
+if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2",
+                "pp_parse", "pp_emit"} & ONLY:
     from gzp_tpu.ops.lz_pallas import best_matches_pallas
 
     def match_pallas_body(pw, lags):
@@ -214,6 +215,56 @@ if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2"} & ONLY:
 
     if not ONLY or "full_pp_pw2" in ONLY:
         timeit("full_pp_pw2", full_pp_pw2_body())
+
+    # cumulative stage decomposition under the production Pallas config
+    # (round-6 handoff: where do the remaining ns/B live?)
+    def pp_parse_body():
+        cfg = dataclasses.replace(cfg0, pallas_match=True)
+
+        def body(d):
+            from gzp_tpu.ops.deflate_kernel import match_stage, parse_stage
+
+            _, ml, md = match_stage(cfg, d, dl)
+            marked, ll = parse_stage(cfg, ml, dl)
+            return digest32(marked.astype(jnp.int32) + ll) ^ digest32(md)
+
+        return body
+
+    def pp_emit_body():
+        cfg = dataclasses.replace(cfg0, pallas_match=True)
+
+        def body(d):
+            from gzp_tpu.ops.deflate_kernel import (
+                compute_symbols,
+                emit_entries,
+                match_stage,
+                parse_stage,
+            )
+            from gzp_tpu.ops import huffman
+
+            ext, ml, md = match_stage(cfg, d, dl)
+            marked, ll = parse_stage(cfg, ml, dl)
+            sym, leb, lextra, dsym, deb, dextra, is_match = compute_symbols(
+                ext, marked, ll, md
+            )
+            lit_freq, dist_freq = huffman.position_histograms(
+                sym, dsym, marked, is_match
+            )
+            lit_codes, lit_lens, dist_codes, dist_lens, use_dyn, dlit, ddist = (
+                huffman.choose_tables(lit_freq, dist_freq)
+            )
+            bits, nbits = emit_entries(
+                marked, is_match, sym, leb, lextra, dsym, deb, dextra,
+                lit_codes, lit_lens, dist_codes, dist_lens,
+            )
+            return digest32(bits[:, ::64]) ^ digest32(nbits[:, ::64])
+
+        return body
+
+    if not ONLY or "pp_parse" in ONLY:
+        timeit("pp_parse", pp_parse_body())
+    if not ONLY or "pp_emit" in ONLY:
+        timeit("pp_emit", pp_emit_body())
 
     def validate_pp():
         import gzip as _gzip
