@@ -114,6 +114,10 @@ class DeflateEncodeConfig:
     # elementwise/scan soup runs as three VMEM-resident kernel launches.
     # Applies when matcher='hash', hash3=False, sample_step=1.
     pallas_match: bool = False
+    # Huffman code fetch: 'f32' = byte-split one-hot matmul through the
+    # bf16 MXU path; 'int8' = nibble-split int8 matmul (half the one-hot
+    # operand traffic, exact int32 accumulation)
+    lookup: str = "f32"
     # candidate discovery: 'hash' sorts (hash4, pos) and probes the
     # ``lags`` nearest previous occurrences (recency order — zlib's
     # chain walk truncated at depth ``lags``); 'suffix' sorts by the
@@ -281,6 +285,39 @@ def _onehot_lookup2(
     return code, r[..., 2].astype(_I32)
 
 
+def _onehot_lookup2_i8(
+    sym: jax.Array, codes: jax.Array, lens: jax.Array, width: int
+) -> tuple[jax.Array, jax.Array]:
+    """Int8 variant of :func:`_onehot_lookup2`: the dominant cost of the
+    one-hot gather is streaming the materialized [N, width] one-hot
+    operand — int8 halves that traffic vs the f32->bf16 MXU path. The
+    table is NIBBLE-split (signed int8 holds <= 127, codes reach 15
+    bits) and the dot accumulates exactly in int32."""
+    o = jax.nn.one_hot(sym, width, dtype=jnp.int8)
+    tbl = jnp.stack(
+        [
+            (codes & 0xF),
+            ((codes >> 4) & 0xF),
+            ((codes >> 8) & 0xF),
+            ((codes >> 12) & 0xF),
+            lens,
+        ],
+        axis=-1,
+    ).astype(jnp.int8)
+    r = jax.lax.dot_general(
+        o, tbl,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    code = (
+        r[..., 0].astype(_U32)
+        | (r[..., 1].astype(_U32) << 4)
+        | (r[..., 2].astype(_U32) << 8)
+        | (r[..., 3].astype(_U32) << 12)
+    )
+    return code, r[..., 4]
+
+
 def compute_symbols(data_ext, marked, l, dist):
     """Per-position DEFLATE symbols (arithmetic, no table gathers).
 
@@ -300,7 +337,7 @@ def compute_symbols(data_ext, marked, l, dist):
 
 def emit_token_entries(
     marked, prev_match, sym, leb, lextra, dsym_s, deb_s, dextra_s,
-    lit_codes, lit_lens, dist_codes, dist_lens,
+    lit_codes, lit_lens, dist_codes, dist_lens, lookup: str = "f32",
 ) -> tuple[jax.Array, jax.Array]:
     """Per-position bit entries (one <=31-bit entry per position + EOB).
 
@@ -313,11 +350,12 @@ def emit_token_entries(
     Returns (bits, nbits) of shape ``[R, M+1]`` (last column =
     end-of-block symbol).
     """
-    code, nb = _onehot_lookup2(sym, lit_codes, lit_lens, huffman.NLIT)
+    fetch = _onehot_lookup2_i8 if lookup == "int8" else _onehot_lookup2
+    code, nb = fetch(sym, lit_codes, lit_lens, huffman.NLIT)
     even_bits = code | (lextra.astype(_U32) << nb.astype(_U32))
     even_n = jnp.where(marked, nb + leb, 0)
 
-    dcode, dnb = _onehot_lookup2(dsym_s, dist_codes, dist_lens, huffman.NDIST)
+    dcode, dnb = fetch(dsym_s, dist_codes, dist_lens, huffman.NDIST)
     odd_bits = dcode | (dextra_s.astype(_U32) << dnb.astype(_U32))
     odd_n = dnb + deb_s
 
@@ -766,7 +804,7 @@ def emit_stage(
 
     bits, nbits = emit_token_entries(
         marked_r, prev_match_r, sym_r, leb_r, lextra_r, dsym_r, deb_r, dextra_r,
-        lit_codes, lit_lens, dist_codes, dist_lens,
+        lit_codes, lit_lens, dist_codes, dist_lens, lookup=cfg.lookup,
     )
 
     hdr_bits = 8 * cfg.header_len

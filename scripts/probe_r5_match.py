@@ -161,7 +161,7 @@ timeit("match_pw2_lags3", match_body(1, 2, lags=3))
 
 # ---- Pallas matcher: sorts in XLA, op soup fused (round 5) ----
 if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2",
-                "pp_parse", "pp_emit"} & ONLY:
+                "pp_parse", "pp_emit", "full_pp_i8"} & ONLY:
     from gzp_tpu.ops.lz_pallas import best_matches_pallas
 
     def match_pallas_body(pw, lags):
@@ -265,6 +265,40 @@ if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2",
         timeit("pp_parse", pp_parse_body())
     if not ONLY or "pp_emit" in ONLY:
         timeit("pp_emit", pp_emit_body())
+
+    def full_pp_i8_body():
+        cfg = dataclasses.replace(
+            cfg0, pallas_match=True, pack="sortscan_pallas", lookup="int8"
+        )
+
+        def body(d):
+            res = encode_deflate_blocks(cfg, d, dl, df)
+            return jnp.sum(res["out_len"]).astype(jnp.uint32) ^ res["check"][0]
+
+        return body
+
+    if not ONLY or "full_pp_i8" in ONLY:
+        timeit("full_pp_i8", full_pp_i8_body())
+        # validate: int8-lookup members must gzip-decode
+        try:
+            import gzip as _gzip
+
+            cfg = dataclasses.replace(
+                cfg0, pallas_match=True, pack="sortscan_pallas", lookup="int8"
+            )
+            res = jax.jit(lambda d: encode_deflate_blocks(cfg, d, dl, df))(dd)
+            out = np.asarray(res["out"])
+            ol = np.asarray(res["out_len"])
+            bad = 0
+            for i in range(0, B, max(B // 8, 1)):
+                try:
+                    ok = _gzip.decompress(out[i, : ol[i]].tobytes()) == data[i].tobytes()
+                except Exception:
+                    ok = False
+                bad += not ok
+            log(f"validate_i8                bad_members {bad}")
+        except Exception as e:  # noqa: BLE001
+            log(f"validate_i8 FAILED: {e!r:.200}")
 
     def validate_pp():
         import gzip as _gzip
