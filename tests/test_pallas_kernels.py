@@ -134,3 +134,31 @@ def test_snappy_pallas_path():
     )
     assert np.array_equal(np.asarray(res_x["out_len"]), ol)
     assert np.array_equal(np.asarray(res_x["out"]), np.asarray(res_p["out"]))
+
+
+def test_int8_lookup_byte_identical():
+    """lookup='int8' (nibble-split int8 matmul) must produce the same
+    stream as the f32/bf16 one-hot path."""
+    import dataclasses
+    import gzip
+
+    from gzp_tpu.ops.deflate_kernel import (
+        DeflateEncodeConfig,
+        encode_deflate_blocks,
+    )
+
+    B, N = 2, 32768
+    data = np.frombuffer(_corpus(B * N, seed=31), np.uint8).reshape(B, N)
+    lengths = jnp.full((B,), N, jnp.int32)
+    finals = jnp.zeros((B,), bool)
+    base = DeflateEncodeConfig.for_level(N, "mgzip", "none", 3)
+    r1 = encode_deflate_blocks(base, jnp.asarray(data), lengths, finals)
+    c8 = dataclasses.replace(base, lookup="int8")
+    r2 = encode_deflate_blocks(c8, jnp.asarray(data), lengths, finals)
+    assert np.array_equal(np.asarray(r1["out_len"]), np.asarray(r2["out_len"]))
+    assert np.array_equal(np.asarray(r1["out"]), np.asarray(r2["out"]))
+    ol = np.asarray(r2["out_len"])
+    for i in range(B):
+        assert gzip.decompress(
+            np.asarray(r2["out"])[i, : ol[i]].tobytes()
+        ) == data[i].tobytes()
