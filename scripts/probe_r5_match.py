@@ -46,7 +46,7 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
 ONLY = set(sys.argv[3:])
 REPS = int(os.environ.get("GZP_PROBE_REPS", "8"))
-LEVEL = 3
+LEVEL = int(os.environ.get("GZP_PROBE_LEVEL", "3"))
 
 cfg0 = DeflateEncodeConfig.for_level(N, "mgzip", "none", LEVEL)
 data = np.frombuffer(make_corpus(B * N), np.uint8).reshape(B, N)
