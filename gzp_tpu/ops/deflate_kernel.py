@@ -624,17 +624,8 @@ def match_stage(
     else:
         ext = data_u8
         halo_start = None
-    if (
-        cfg.pallas_match
-        and cfg.matcher == "hash"
-        and not cfg.hash3
-        and cfg.sample_step == 1
-    ):
-        from gzp_tpu.ops.lz_pallas import best_matches_pallas
-
-        match_len, match_dist = best_matches_pallas(
-            ext,
-            lengths,
+    if cfg.pallas_match and not cfg.hash3 and cfg.sample_step == 1:
+        kw = dict(
             max_dist=MAX_DIST,
             max_match=MAX_MATCH,
             min_emit=MIN_MATCH,
@@ -644,7 +635,21 @@ def match_stage(
             payload_words=cfg.payload_words,
             lags=cfg.lags,
         )
-        return ext, match_len, match_dist
+        if cfg.matcher == "hash":
+            from gzp_tpu.ops.lz_pallas import best_matches_pallas
+
+            match_len, match_dist = best_matches_pallas(ext, lengths, **kw)
+            return ext, match_len, match_dist
+        if cfg.matcher == "suffix":
+            # levels >= 6: fused content-sort + shallow-hash hybrid
+            # (round 5: replaces the 1100 s-compile XLA suffix soup,
+            # scripts/rung32_level6_r5.log)
+            from gzp_tpu.ops.lz_pallas import best_matches_suffix_pallas
+
+            match_len, match_dist = best_matches_suffix_pallas(
+                ext, lengths, **kw
+            )
+            return ext, match_len, match_dist
     match_len, match_dist = lz.best_matches(
         ext,
         lengths,

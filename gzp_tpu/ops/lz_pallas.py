@@ -412,6 +412,369 @@ def match_tail_pallas(data_u8, packed_pos, lengths, halo_start, *, base,
 
 
 # ---------------------------------------------------------------------------
+# Suffix-matcher kernels (levels >= 6)
+# ---------------------------------------------------------------------------
+
+
+def _bswap32(x):
+    return (
+        (x << 24)
+        | ((x & jnp.uint32(0xFF00)) << 8)
+        | ((x >> 8) & jnp.uint32(0xFF00))
+        | (x >> 24)
+    )
+
+
+def _lz_bytes(x):
+    """Leading-zero BYTES (0..4) of a uint32 in big-endian byte order —
+    the per-word LCP rule after :func:`_bswap32`. Formulated as nested
+    byte-mask selects (``jax.lax.clz`` was not in the round-4 Mosaic
+    bisection's proven construct set; this is 3 compares either way)."""
+    return jnp.where(
+        (x & jnp.uint32(0xFF000000)) != 0,
+        0,
+        jnp.where(
+            (x & jnp.uint32(0xFFFF0000)) != 0,
+            1,
+            jnp.where((x & jnp.uint32(0xFFFFFF00)) != 0, 2,
+                      jnp.where(x != 0, 3, 4)),
+        ),
+    ).astype(_I32)
+
+
+def _build_suffix_keys_kernel(d_ref, *out_refs, payload_words):
+    """bytes -> byte-swapped context words (sort keys) + position."""
+    d = d_ref[0].astype(_U32)
+    w4 = (
+        d
+        | (_shift_left_flat(d, 1) << 8)
+        | (_shift_left_flat(d, 2) << 16)
+        | (_shift_left_flat(d, 3) << 24)
+    )
+    for k in range(payload_words):
+        w = w4 if k == 0 else _shift_left_flat(w4, 4 * k)
+        out_refs[k][0] = _bswap32(w)
+    row = jax.lax.broadcasted_iota(_I32, d.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, d.shape, 1)
+    out_refs[payload_words][0] = (row * LANES + col).astype(_U32)
+
+
+def build_suffix_keys_pallas(data_u8, *, payload_words, interpret=False):
+    """bytes [B, N] -> (keys: list of ``payload_words`` [B, Np] u32
+    byte-swapped context words, pos [B, Np] u32). Lexicographic sort of
+    ``(*keys, pos)`` is suffix order truncated at ``4*payload_words``
+    bytes (mirrors lz.best_matches suffix=True key construction)."""
+    interpret = _auto_interpret(interpret)
+    b, n = data_u8.shape
+    rows = _rows_for(n)
+    npad = rows * LANES
+    if npad != n:
+        data_u8 = jnp.concatenate(
+            [data_u8, jnp.zeros((b, npad - n), jnp.uint8)], axis=1
+        )
+    kern = functools.partial(
+        _build_suffix_keys_kernel, payload_words=payload_words
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(payload_words + 1)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, LANES), _U32)
+            for _ in range(payload_words + 1)
+        ],
+        interpret=interpret,
+    )(data_u8.reshape(b, rows, LANES))
+    keys = [o.reshape(b, npad) for o in outs[:payload_words]]
+    return keys, outs[payload_words].reshape(b, npad)
+
+
+def _suffix_neighbor_kernel(lo_ref, sp_ref, *refs, lags, max_dist,
+                            payload_words):
+    """Sorted suffix order -> best +/-lags candidate per sorted slot.
+
+    Fuses the per-lag LCP ladders, the up/down validity tests and the
+    running best-candidate merge — at lags=16 this is the ~300-op XLA
+    soup that made level 6's compile take 20 minutes (rung32_level6_r5)."""
+    out_sp_ref, packed_ref = refs[-2], refs[-1]
+    skeys = [r[0] for r in refs[:payload_words]]
+    sp = sp_ref[0].astype(_I32)
+    lo = lo_ref[pl.program_id(0)]
+    payload_bytes = 4 * payload_words
+    npad = sp.shape[0] * LANES
+    row = jax.lax.broadcasted_iota(_I32, sp.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, sp.shape, 1)
+    flat = row * LANES + col
+
+    ls = jnp.zeros_like(sp)
+    ds = jnp.zeros_like(sp)
+    cs = jnp.zeros_like(sp)
+    first = True
+
+    def merge(ls, ds, cs, l2, d2, c2):
+        a_wins = jnp.logical_or(ls > l2, jnp.logical_and(ls == l2, ds < d2))
+        return (
+            jnp.where(a_wins, ls, l2),
+            jnp.where(a_wins, ds, d2),
+            jnp.where(a_wins, cs, c2),
+        )
+
+    for lag in range(1, lags + 1):
+        # LCP (bytes, capped at payload_bytes) vs the lag-above neighbor
+        lcp_up = jnp.full(sp.shape, payload_bytes, _I32)
+        alive = jnp.ones(sp.shape, jnp.bool_)
+        for k, w in enumerate(skeys):
+            x = w ^ _shift_right_flat(w, lag)
+            hit = jnp.logical_and(alive, x != 0)
+            lcp_up = jnp.where(hit, 4 * k + _lz_bytes(x), lcp_up)
+            alive = jnp.logical_and(alive, x == 0)
+
+        for up in (True, False):
+            if up:
+                cpos = jnp.where(flat < lag, -1, _shift_right_flat(sp, lag))
+                lcp = lcp_up
+            else:
+                cpos = jnp.where(
+                    flat >= npad - lag, -1, _shift_left_flat(sp, lag)
+                )
+                lcp = _shift_left_flat(lcp_up, lag)
+            dist = sp - cpos
+            valid = jnp.logical_and(
+                cpos >= lo, jnp.logical_and(dist >= 1, dist <= max_dist)
+            )
+            capped = jnp.logical_and(valid, lcp >= payload_bytes).astype(_I32)
+            lcp = jnp.where(valid, lcp, 0)
+            if first:
+                ls, ds, cs = lcp, dist, capped
+                first = False
+            else:
+                ls, ds, cs = merge(ls, ds, cs, lcp, dist, capped)
+
+    ds = jnp.where(ls > 0, ds, 0)
+    packed = (
+        ds.astype(_U32) | (ls.astype(_U32) << 17) | (cs.astype(_U32) << 22)
+    )
+    out_sp_ref[0] = sp.astype(_U32)
+    packed_ref[0] = packed
+
+
+def suffix_neighbor_pallas(skeys, sp, halo_start, *, lags, max_dist,
+                           interpret=False):
+    """sorted (keys, pos) [B, Np] -> (sp, packed) for the restore sort."""
+    interpret = _auto_interpret(interpret)
+    b, npad = sp.shape
+    rows = npad // LANES
+    pw = len(skeys)
+    kern = functools.partial(
+        _suffix_neighbor_kernel, lags=lags, max_dist=max_dist,
+        payload_words=pw,
+    )
+    vspec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_sp, packed = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec]
+        + [vspec for _ in range(pw)],
+        out_specs=[vspec, vspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, LANES), _U32) for _ in range(2)
+        ],
+        interpret=interpret,
+    )(halo_start.astype(_I32), sp.reshape(b, rows, LANES),
+      *[k.reshape(b, rows, LANES) for k in skeys])
+    return out_sp.reshape(b, npad), packed.reshape(b, npad)
+
+
+def _tail2_kernel(len_ref, lo_ref, d_ref, ph_ref, ps_ref, ln_ref, dist_ref,
+                  *, n, base, payload_bytes, max_match, min_emit, lazy):
+    """Two-candidate-field tail: distance-1 runs merge into the HASH
+    field, both fields extend independently (extension chains need a
+    coherent single-source distance field — ARCHITECTURE §10 /
+    lz.best_matches extend docstring), then suffix wins on (len, dist)
+    and the clamp/heuristic/lazy epilogue runs once. Mirrors
+    lz.best_matches(suffix=True) op for op."""
+    d = d_ref[0].astype(_I32)
+    length = len_ref[pl.program_id(0)]
+    lo = lo_ref[pl.program_id(0)]
+    row = jax.lax.broadcasted_iota(_I32, d.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, d.shape, 1)
+    i_idx = row * LANES + col
+    end = base + length
+    len_limit = end - i_idx
+
+    def unpack(p):
+        return (
+            ((p >> 17) & 0x1F).astype(_I32),
+            (p & 0x1FFFF).astype(_I32),
+            (p >> 22) == 1,
+        )
+
+    ln, dist, capped = unpack(ph_ref[0])
+    ln_s, dist_s, capped_s = unpack(ps_ref[0])
+
+    # ---- distance-1 runs (into the hash field, as in the XLA path) ----
+    prev = _shift_right_flat(d, 1)
+    eq = jnp.logical_and(d == prev, i_idx >= 1)
+    cnt = eq.astype(_I32)
+    full = eq
+    s = 1
+    while s < n:
+        cnt_r = _shift_left_flat(cnt, s)
+        full_r = _shift_left_flat(full.astype(_I32), s) == 1
+        cnt = jnp.where(full, cnt + cnt_r, cnt)
+        full = jnp.logical_and(full, full_r)
+        s *= 2
+    l3 = jnp.where((i_idx - 1) >= lo, cnt, 0)
+    run_wins = jnp.logical_or(l3 > ln, jnp.logical_and(l3 == ln, dist > 1))
+    dist = jnp.where(run_wins, 1, dist)
+    capped = jnp.logical_and(~run_wins, capped)
+    ln = jnp.where(run_wins, l3, ln)
+
+    # ---- extension doubling, each field separately ----
+    def extend(ln, dist, capped):
+        cap = payload_bytes
+        while cap < max_match:
+            ln_next = _shift_left_flat(ln, cap)
+            dist_next = _shift_left_flat(dist, cap)
+            cap_next = _shift_left_flat(capped.astype(_I32), cap) == 1
+            chain = jnp.logical_and(capped, dist_next == dist)
+            ln = jnp.where(chain, cap + jnp.where(ln_next > 0, ln_next, 0), ln)
+            capped = jnp.logical_and(chain, cap_next)
+            cap *= 2
+        return ln, dist, capped
+
+    ln, dist, capped = extend(ln, dist, capped)
+    ln_s, dist_s, _ = extend(ln_s, dist_s, capped_s)
+    wins = jnp.logical_or(
+        ln_s > ln, jnp.logical_and(ln_s == ln, dist_s < dist)
+    )
+    ln = jnp.where(wins, ln_s, ln)
+    dist = jnp.where(wins, dist_s, dist)
+
+    ln = jnp.minimum(ln, jnp.minimum(len_limit, max_match))
+    ln = jnp.where(ln >= min_emit, ln, 0)
+    ln = jnp.where(jnp.logical_and(ln == 3, dist > 4096), 0, ln)
+    valid_pos = jnp.logical_and(i_idx >= base, i_idx < end)
+    ln = jnp.where(valid_pos, ln, 0)
+
+    if lazy:
+        ln_next = _shift_left_flat(ln, 1)
+        demote = jnp.logical_and(ln > 0, jnp.logical_and(ln < 32, ln_next > ln))
+        ln = jnp.where(demote, 0, ln)
+
+    ln_ref[0] = ln
+    dist_ref[0] = dist
+
+
+def match_tail2_pallas(data_u8, packed_hash_pos, packed_suffix_pos, lengths,
+                       halo_start, *, base, payload_bytes, max_match,
+                       min_emit, lazy, interpret=False):
+    """(bytes, hash candidates, suffix candidates) -> (match_len, dist)."""
+    interpret = _auto_interpret(interpret)
+    b, n = data_u8.shape
+    rows = _rows_for(n)
+    npad = rows * LANES
+    if npad != n:
+        data_u8 = jnp.concatenate(
+            [data_u8, jnp.zeros((b, npad - n), jnp.uint8)], axis=1
+        )
+    kern = functools.partial(
+        _tail2_kernel, n=npad, base=base, payload_bytes=payload_bytes,
+        max_match=max_match, min_emit=min_emit, lazy=lazy,
+    )
+    vspec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ln, dist = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec, vspec, vspec,
+        ],
+        out_specs=[vspec, vspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, LANES), _I32) for _ in range(2)
+        ],
+        interpret=interpret,
+    )(lengths.astype(_I32), halo_start.astype(_I32),
+      data_u8.reshape(b, rows, LANES),
+      packed_hash_pos.reshape(b, rows, LANES),
+      packed_suffix_pos.reshape(b, rows, LANES))
+    return ln.reshape(b, npad)[:, :n], dist.reshape(b, npad)[:, :n]
+
+
+def best_matches_suffix_pallas(
+    data_u8,
+    lengths,
+    *,
+    max_dist: int,
+    max_match: int,
+    min_emit: int,
+    base: int = 0,
+    halo_start=None,
+    lazy: bool = False,
+    payload_words: int = 7,
+    lags: int = 16,
+    interpret: bool = False,
+):
+    """Drop-in for :func:`gzp_tpu.ops.lz.best_matches` with
+    ``suffix=True`` (levels >= 6): the content-sort candidate pass, the
+    shallow recency (hash) pass the hybrid keeps for extension-chain
+    coherence, and the merged tail — four XLA sorts (suffix + hash
+    candidate sorts, two order-restoring sorts) around four fused
+    Pallas launches. Replaces the XLA formulation whose op soup took
+    1100+ s to compile and ran 0.0431 GB/s at 32x128 KiB
+    (scripts/rung32_level6_r5.log). Bit-identical to the XLA path
+    (tests/test_pallas_kernels.py::test_match_suffix_pallas_equals_xla).
+    """
+    b, n_ext = data_u8.shape
+    pos_bits = _pos_bits(n_ext)
+    if halo_start is None:
+        halo_start = jnp.zeros((b,), _I32)
+
+    # -- suffix (content-order) candidate pass
+    skeys_raw, pos = build_suffix_keys_pallas(
+        data_u8, payload_words=payload_words, interpret=interpret
+    )
+    sorted_ops = jax.lax.sort(
+        (*skeys_raw, pos), dimension=1, num_keys=payload_words + 1
+    )
+    sp_s, packed_s = suffix_neighbor_pallas(
+        list(sorted_ops[:payload_words]), sorted_ops[-1], halo_start,
+        lags=lags, max_dist=max_dist, interpret=interpret,
+    )
+    _, packed_s_pos = jax.lax.sort((sp_s, packed_s), dimension=1, num_keys=1)
+
+    # -- shallow hash (recency-order) pass: hash_lags=2, as in the hybrid
+    key, pays = build_keys_pallas(
+        data_u8, pos_bits=pos_bits, payload_words=payload_words,
+        interpret=interpret,
+    )
+    sorted_h = jax.lax.sort((key, *pays), dimension=1, num_keys=1)
+    sp_h, packed_h = neighbor_pallas(
+        sorted_h[0], list(sorted_h[1:]), halo_start,
+        pos_bits=pos_bits, lags=2, max_dist=max_dist, interpret=interpret,
+    )
+    _, packed_h_pos = jax.lax.sort((sp_h, packed_h), dimension=1, num_keys=1)
+
+    return match_tail2_pallas(
+        data_u8, packed_h_pos, packed_s_pos, lengths, halo_start,
+        base=base, payload_bytes=4 * payload_words, max_match=max_match,
+        min_emit=min_emit, lazy=lazy, interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full matcher: XLA sorts + Pallas everything-else
 # ---------------------------------------------------------------------------
 

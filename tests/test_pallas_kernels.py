@@ -162,3 +162,73 @@ def test_int8_lookup_byte_identical():
         assert gzip.decompress(
             np.asarray(r2["out"])[i, : ol[i]].tobytes()
         ) == data[i].tobytes()
+
+
+@pytest.mark.parametrize("pw,lags", [(3, 3), (7, 16)])
+def test_match_suffix_pallas_equals_xla(pw, lags):
+    """Suffix-matcher (levels >= 6) Pallas path is bit-identical to
+    lz.best_matches(suffix=True)."""
+    from gzp_tpu.ops.lz_pallas import best_matches_suffix_pallas
+
+    B, N = 2, 8192
+    data = np.frombuffer(_corpus(B * N, seed=5), np.uint8).reshape(B, N)
+    lengths = jnp.asarray(np.array([N, N - 321], np.int32))
+    kw = dict(max_dist=32768, max_match=258, min_emit=3, lazy=True,
+              payload_words=pw, lags=lags)
+    ln1, d1 = jax.jit(
+        lambda d: lz.best_matches(d, lengths, suffix=True, **kw)
+    )(data)
+    ln2, d2 = best_matches_suffix_pallas(jnp.asarray(data), lengths, **kw)
+    ln1, d1, ln2, d2 = map(np.asarray, (ln1, d1, ln2, d2))
+    assert np.array_equal(ln1, ln2)
+    assert np.array_equal(d1[ln1 > 0], d2[ln1 > 0])
+
+
+def test_match_suffix_pallas_halo():
+    from gzp_tpu.ops.lz_pallas import best_matches_suffix_pallas
+
+    B, N, BASE = 2, 6144, 2048
+    blob = np.frombuffer(_corpus(B * (N + BASE), seed=11), np.uint8).reshape(
+        B, N + BASE
+    )
+    lengths = jnp.asarray(np.array([N, N - 55], np.int32))
+    hs = jnp.asarray(np.array([0, 1024], np.int32))
+    kw = dict(max_dist=32768, max_match=258, min_emit=3, lazy=True,
+              payload_words=3, lags=4, base=BASE)
+    ln1, d1 = jax.jit(
+        lambda d: lz.best_matches(d, lengths, halo_start=hs, suffix=True, **kw)
+    )(blob)
+    ln2, d2 = best_matches_suffix_pallas(
+        jnp.asarray(blob), lengths, halo_start=hs, **kw
+    )
+    ln1, d1, ln2, d2 = map(np.asarray, (ln1, d1, ln2, d2))
+    assert np.array_equal(ln1, ln2)
+    assert np.array_equal(d1[ln1 > 0], d2[ln1 > 0])
+
+
+def test_full_encoder_level6_pallas_match():
+    """Level-6 (suffix matcher) members with pallas_match decode clean."""
+    import dataclasses
+    import gzip
+
+    from gzp_tpu.ops.deflate_kernel import (
+        DeflateEncodeConfig,
+        encode_deflate_blocks,
+    )
+
+    B, N = 2, 16384
+    data = np.frombuffer(_corpus(B * N, seed=23), np.uint8).reshape(B, N)
+    cfg = dataclasses.replace(
+        DeflateEncodeConfig.for_level(N, "mgzip", "none", 6), pallas_match=True
+    )
+    assert cfg.matcher == "suffix"
+    res = encode_deflate_blocks(
+        cfg,
+        jnp.asarray(data),
+        jnp.full((B,), N, jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    out = np.asarray(res["out"])
+    ol = np.asarray(res["out_len"])
+    for i in range(B):
+        assert gzip.decompress(out[i, : ol[i]].tobytes()) == data[i].tobytes()
