@@ -253,18 +253,198 @@ def _neighbor_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags, max_dist,
     packed_ref[0] = packed
 
 
+def _neighbor_loop_kernel(lo_ref, sk_ref, *pay_refs, pos_bits, lags,
+                          max_dist, payload_words):
+    """``_neighbor_kernel`` with the lag loop as an in-kernel
+    ``fori_loop`` over dynamic lane shifts. The unrolled form keeps
+    every per-lag temporary live on Mosaic's scoped-VMEM stack and
+    OOMs past the (payload_words <= 3, lags <= 2) envelope — pw=7 at
+    lags=2 on 1024-row tiles exceeds the 16 MB limit (round-5 device
+    bisects, scripts/probe_suffix_pallas*.log). The loop form's live
+    set is constant in ``lags``. Used for the suffix hybrid's hash
+    pass (levels >= 6 carry 7 context words)."""
+    assert lags < LANES
+    sp_ref, packed_ref = pay_refs[-2], pay_refs[-1]
+    pays = [r[0] for r in pay_refs[:payload_words]]
+    sk = sk_ref[0]
+    lo = lo_ref[pl.program_id(0)]
+    pos_mask = jnp.uint32((1 << pos_bits) - 1)
+    sp = (sk & pos_mask).astype(_I32)
+    sh = sk >> jnp.uint32(pos_bits)
+    payload_bytes = 4 * payload_words
+    row = jax.lax.broadcasted_iota(_I32, sp.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, sp.shape, 1)
+    flat = row * LANES + col
+
+    def body(lag, carry):
+        ls, ds, cs = carry
+        edge = flat < lag
+        cpos = jnp.where(edge, -1, _dyn_shift_right_lane(sp, lag))
+        csame = jnp.logical_and(~edge, _dyn_shift_right_lane(sh, lag) == sh)
+        dist = sp - cpos
+        valid = jnp.logical_and(
+            jnp.logical_and(csame, cpos >= lo),
+            jnp.logical_and(dist >= 1, dist <= max_dist),
+        )
+        lcp = jnp.full(sp.shape, payload_bytes, _I32)
+        alive = jnp.ones(sp.shape, jnp.bool_)
+        for k, w in enumerate(pays):
+            x = w ^ _dyn_shift_right_lane(w, lag)
+            hit = jnp.logical_and(alive, x != 0)
+            lcp = jnp.where(hit, 4 * k + _tz_bytes(x), lcp)
+            alive = jnp.logical_and(alive, x == 0)
+        c2 = jnp.logical_and(valid, lcp >= payload_bytes).astype(_I32)
+        l2 = jnp.where(valid, lcp, 0)
+        a_wins = jnp.logical_or(ls > l2, jnp.logical_and(ls == l2, ds < dist))
+        return (
+            jnp.where(a_wins, ls, l2),
+            jnp.where(a_wins, ds, dist),
+            jnp.where(a_wins, cs, c2),
+        )
+
+    zero = jnp.zeros_like(sp)
+    ls, ds, cs = jax.lax.fori_loop(1, lags + 1, body, (zero, zero, zero))
+
+    ds = jnp.where(ls > 0, ds, 0)
+    sp_ref[0] = sp.astype(_U32)
+    packed_ref[0] = (
+        ds.astype(_U32) | (ls.astype(_U32) << 17) | (cs.astype(_U32) << 22)
+    )
+
+
+def _lcp_lag_kernel(*refs, lag, payload_words, big_endian):
+    """Payload context words -> LCP (bytes, capped at 4*payload_words)
+    vs the ``lag``-above sorted neighbor. Standalone so the operand-heavy
+    word ladder never shares a VMEM stack with merge temporaries (the
+    combined kernels OOM past ~16 MB — scripts/probe_suffix_pallas*.log)."""
+    out_ref = refs[-1]
+    pays = [r[0] for r in refs[:payload_words]]
+    payload_bytes = 4 * payload_words
+    byte_fn = _lz_bytes if big_endian else _tz_bytes
+    lcp = jnp.full(pays[0].shape, payload_bytes, _I32)
+    alive = jnp.ones(pays[0].shape, jnp.bool_)
+    for k, w in enumerate(pays):
+        x = w ^ _shift_right_flat(w, lag)
+        hit = jnp.logical_and(alive, x != 0)
+        lcp = jnp.where(hit, 4 * k + byte_fn(x), lcp)
+        alive = jnp.logical_and(alive, x == 0)
+    out_ref[0] = lcp
+
+
+def _hash_merge_kernel(lo_ref, sk_ref, *refs, pos_bits, lags, max_dist,
+                       payload_bytes):
+    """(sorted key, per-lag LCPs) -> best recency candidate per slot."""
+    sp_ref, packed_ref = refs[-2], refs[-1]
+    lcps = [r[0] for r in refs[:lags]]
+    sk = sk_ref[0]
+    lo = lo_ref[pl.program_id(0)]
+    pos_mask = jnp.uint32((1 << pos_bits) - 1)
+    sp = (sk & pos_mask).astype(_I32)
+    sh = sk >> jnp.uint32(pos_bits)
+    row = jax.lax.broadcasted_iota(_I32, sp.shape, 0)
+    col = jax.lax.broadcasted_iota(_I32, sp.shape, 1)
+    flat = row * LANES + col
+
+    ls = jnp.zeros_like(sp)
+    ds = jnp.zeros_like(sp)
+    cs = jnp.zeros_like(sp)
+    first = True
+    for lag in range(1, lags + 1):
+        edge = flat < lag
+        cpos = jnp.where(edge, -1, _shift_right_flat(sp, lag))
+        csame = jnp.logical_and(~edge, _shift_right_flat(sh, lag) == sh)
+        dist = sp - cpos
+        valid = jnp.logical_and(
+            jnp.logical_and(csame, cpos >= lo),
+            jnp.logical_and(dist >= 1, dist <= max_dist),
+        )
+        lcp = lcps[lag - 1]
+        c2 = jnp.logical_and(valid, lcp >= payload_bytes).astype(_I32)
+        l2 = jnp.where(valid, lcp, 0)
+        if first:
+            ls, ds, cs = l2, dist, c2
+            first = False
+        else:
+            a_wins = jnp.logical_or(
+                ls > l2, jnp.logical_and(ls == l2, ds < dist)
+            )
+            ls = jnp.where(a_wins, ls, l2)
+            ds = jnp.where(a_wins, ds, dist)
+            cs = jnp.where(a_wins, cs, c2)
+
+    ds = jnp.where(ls > 0, ds, 0)
+    sp_ref[0] = sp.astype(_U32)
+    packed_ref[0] = (
+        ds.astype(_U32) | (ls.astype(_U32) << 17) | (cs.astype(_U32) << 22)
+    )
+
+
+def lcp_lags_pallas(pays3, lags, *, big_endian, interpret):
+    """Per-lag LCP arrays from reshaped [B, rows, LANES] payload words."""
+    b, rows, _ = pays3[0].shape
+    pw = len(pays3)
+    vspec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return [
+        pl.pallas_call(
+            functools.partial(
+                _lcp_lag_kernel, lag=lag, payload_words=pw,
+                big_endian=big_endian,
+            ),
+            grid=(b,),
+            in_specs=[vspec for _ in range(pw)],
+            out_specs=[vspec],
+            out_shape=[jax.ShapeDtypeStruct((b, rows, LANES), _I32)],
+            interpret=interpret,
+        )(*pays3)[0]
+        for lag in range(1, lags + 1)
+    ]
+
+
 def neighbor_pallas(sk, pays, halo_start, *, pos_bits, lags, max_dist,
                     interpret=False):
     """sorted key + payloads [B, Np] -> (sp, packed) for the restore sort.
 
-    ``halo_start`` is [B] int32 (minimum valid source position).
-    """
+    ``halo_start`` is [B] int32 (minimum valid source position). Three
+    kernel strategies by VMEM footprint (device bisects,
+    scripts/probe_suffix_pallas*.log): the proven fused kernel for
+    payload_words <= 3 and lags <= 2 (the level <= 5 production
+    configs); a fori-loop variant for more lags at small payloads; and
+    a split per-lag-LCP + merge pipeline for wide payloads (the suffix
+    hybrid's hash pass carries 7 context words), where the fused AND
+    loop forms both blow the 16 MB scoped-VMEM stack."""
     interpret = _auto_interpret(interpret)
     b, npad = sk.shape
     rows = npad // LANES
     pw = len(pays)
+    vspec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if pw > 3:
+        assert lags <= 4, "split hash-merge kernel holds one LCP block/lag"
+        pays3 = [p.reshape(b, rows, LANES) for p in pays]
+        lcps = lcp_lags_pallas(pays3, lags, big_endian=False,
+                               interpret=interpret)
+        sp, packed = pl.pallas_call(
+            functools.partial(
+                _hash_merge_kernel, pos_bits=pos_bits, lags=lags,
+                max_dist=max_dist, payload_bytes=4 * pw,
+            ),
+            grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec]
+            + [vspec for _ in range(lags)],
+            out_specs=[vspec, vspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, rows, LANES), _U32)
+                for _ in range(2)
+            ],
+            interpret=interpret,
+        )(halo_start.astype(_I32), sk.reshape(b, rows, LANES), *lcps)
+        return sp.reshape(b, npad), packed.reshape(b, npad)
+    base_kern = (
+        _neighbor_kernel if lags <= 2 else _neighbor_loop_kernel
+    )
     kern = functools.partial(
-        _neighbor_kernel, pos_bits=pos_bits, lags=lags, max_dist=max_dist,
+        base_kern, pos_bits=pos_bits, lags=lags, max_dist=max_dist,
         payload_words=pw,
     )
     sp, packed = pl.pallas_call(
@@ -272,18 +452,9 @@ def neighbor_pallas(sk, pays, halo_start, *, pos_bits, lags, max_dist,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] array
-            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(pw)
-        ],
-        out_specs=[
-            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(2)
-        ],
+            vspec,
+        ] + [vspec for _ in range(pw)],
+        out_specs=[vspec, vspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, rows, LANES), _U32) for _ in range(2)
         ],
@@ -497,101 +668,130 @@ def build_suffix_keys_pallas(data_u8, *, payload_words, interpret=False):
     return keys, outs[payload_words].reshape(b, npad)
 
 
-def _suffix_neighbor_kernel(lo_ref, sp_ref, *refs, lags, max_dist,
-                            payload_words):
-    """Sorted suffix order -> best +/-lags candidate per sorted slot.
+def _dyn_shift_right_lane(x, s):
+    """out[flat i] = x[flat i - s] for a TRACED 0 <= s < LANES (zero
+    fill), via two dynamic lane rolls (dynamic-shift ``pltpu.roll`` is
+    in the proven construct set, scripts/probe_mosaic.log)."""
+    rolled = pltpu.roll(x, 1, 0)
+    row = jax.lax.broadcasted_iota(_I32, x.shape, 0)
+    b = jnp.where(row >= 1, rolled, jnp.zeros_like(x))  # down-by-one-row
+    ra = pltpu.roll(x, s, 1)
+    rb = pltpu.roll(b, s, 1)
+    col = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    return jnp.where(col >= s, ra, rb)
 
-    Fuses the per-lag LCP ladders, the up/down validity tests and the
-    running best-candidate merge — at lags=16 this is the ~300-op XLA
-    soup that made level 6's compile take 20 minutes (rung32_level6_r5)."""
-    out_sp_ref, packed_ref = refs[-2], refs[-1]
-    skeys = [r[0] for r in refs[:payload_words]]
+
+def _dyn_shift_left_lane(x, s):
+    """out[flat i] = x[flat i + s] for a TRACED 1 <= s < LANES (zero
+    fill)."""
+    rows = x.shape[0]
+    rolled = pltpu.roll(x, rows - 1, 0)
+    row = jax.lax.broadcasted_iota(_I32, x.shape, 0)
+    b = jnp.where(row < rows - 1, rolled, jnp.zeros_like(x))  # up-by-one-row
+    ra = pltpu.roll(x, LANES - s, 1)
+    rb = pltpu.roll(b, LANES - s, 1)
+    col = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    return jnp.where(col < LANES - s, ra, rb)
+
+
+def _suffix_merge_kernel(lo_ref, sp_ref, adj_ref, packed_ref, *, lags,
+                         max_dist, payload_bytes):
+    """(pos, adjacent LCP) in sorted suffix order -> best +/-lags
+    candidate per sorted slot.
+
+    The XLA formulation recomputes a full ``payload_words``-word LCP
+    ladder per lag (~300 ops at lags=16 — the soup behind level 6's
+    20-minute compiles, rung32_level6_r5). Here lag-k LCPs come from
+    the suffix-array lemma: for lexicographically sorted strings,
+    ``lcp(s_i, s_{i-k}) = min(adj[i-k+1..i])`` — the identity survives
+    truncation at ``payload_bytes`` because min composes with
+    saturation. The lag loop is an in-kernel ``fori_loop`` with dynamic
+    lane rolls: the UNROLLED form kept every per-lag temporary live on
+    Mosaic's scoped-VMEM stack and OOM'd at lags=16 on 1024-row tiles
+    (19.7-29.5 MB vs the 16 MB limit, scripts/probe_suffix_pallas*.log);
+    the loop form's live set is constant in ``lags``. Differences vs
+    the XLA path exist only in invalid (edge-fill) lanes, which both
+    paths mask to zero — bit-equivalence is test-enforced."""
+    assert lags < LANES
     sp = sp_ref[0].astype(_I32)
+    adj = adj_ref[0]
     lo = lo_ref[pl.program_id(0)]
-    payload_bytes = 4 * payload_words
     npad = sp.shape[0] * LANES
     row = jax.lax.broadcasted_iota(_I32, sp.shape, 0)
     col = jax.lax.broadcasted_iota(_I32, sp.shape, 1)
     flat = row * LANES + col
 
-    ls = jnp.zeros_like(sp)
-    ds = jnp.zeros_like(sp)
-    cs = jnp.zeros_like(sp)
-    first = True
+    def body(lag, carry):
+        m_up, ls, ds, cs = carry
+        # min-compose the adjacent LCP window (lag=1: min(adj, adj))
+        m_up = jnp.minimum(m_up, _dyn_shift_right_lane(adj, lag - 1))
 
-    def merge(ls, ds, cs, l2, d2, c2):
-        a_wins = jnp.logical_or(ls > l2, jnp.logical_and(ls == l2, ds < d2))
-        return (
-            jnp.where(a_wins, ls, l2),
-            jnp.where(a_wins, ds, d2),
-            jnp.where(a_wins, cs, c2),
-        )
-
-    for lag in range(1, lags + 1):
-        # LCP (bytes, capped at payload_bytes) vs the lag-above neighbor
-        lcp_up = jnp.full(sp.shape, payload_bytes, _I32)
-        alive = jnp.ones(sp.shape, jnp.bool_)
-        for k, w in enumerate(skeys):
-            x = w ^ _shift_right_flat(w, lag)
-            hit = jnp.logical_and(alive, x != 0)
-            lcp_up = jnp.where(hit, 4 * k + _lz_bytes(x), lcp_up)
-            alive = jnp.logical_and(alive, x == 0)
-
-        for up in (True, False):
-            if up:
-                cpos = jnp.where(flat < lag, -1, _shift_right_flat(sp, lag))
-                lcp = lcp_up
-            else:
-                cpos = jnp.where(
-                    flat >= npad - lag, -1, _shift_left_flat(sp, lag)
-                )
-                lcp = _shift_left_flat(lcp_up, lag)
+        def consider(ls, ds, cs, lcp, cpos):
             dist = sp - cpos
             valid = jnp.logical_and(
                 cpos >= lo, jnp.logical_and(dist >= 1, dist <= max_dist)
             )
-            capped = jnp.logical_and(valid, lcp >= payload_bytes).astype(_I32)
-            lcp = jnp.where(valid, lcp, 0)
-            if first:
-                ls, ds, cs = lcp, dist, capped
-                first = False
-            else:
-                ls, ds, cs = merge(ls, ds, cs, lcp, dist, capped)
+            c2 = jnp.logical_and(valid, lcp >= payload_bytes).astype(_I32)
+            l2 = jnp.where(valid, lcp, 0)
+            a_wins = jnp.logical_or(
+                ls > l2, jnp.logical_and(ls == l2, ds < dist)
+            )
+            return (
+                jnp.where(a_wins, ls, l2),
+                jnp.where(a_wins, ds, dist),
+                jnp.where(a_wins, cs, c2),
+            )
+
+        ls, ds, cs = consider(
+            ls, ds, cs, m_up,
+            jnp.where(flat < lag, -1, _dyn_shift_right_lane(sp, lag)),
+        )
+        ls, ds, cs = consider(
+            ls, ds, cs, _dyn_shift_left_lane(m_up, lag),
+            jnp.where(flat >= npad - lag, -1, _dyn_shift_left_lane(sp, lag)),
+        )
+        return m_up, ls, ds, cs
+
+    zero = jnp.zeros_like(sp)
+    _, ls, ds, cs = jax.lax.fori_loop(
+        1, lags + 1, body, (adj, zero, zero, zero)
+    )
 
     ds = jnp.where(ls > 0, ds, 0)
-    packed = (
+    packed_ref[0] = (
         ds.astype(_U32) | (ls.astype(_U32) << 17) | (cs.astype(_U32) << 22)
     )
-    out_sp_ref[0] = sp.astype(_U32)
-    packed_ref[0] = packed
 
 
 def suffix_neighbor_pallas(skeys, sp, halo_start, *, lags, max_dist,
                            interpret=False):
-    """sorted (keys, pos) [B, Np] -> (sp, packed) for the restore sort."""
+    """sorted (keys, pos) [B, Np] -> (sp, packed) for the restore sort.
+
+    Two launches: adjacent-LCP build over the key operands, then the
+    lag-merge loop over just (pos, adj) — the split keeps each kernel
+    inside the 16 MB scoped-VMEM stack (probe_suffix_pallas.log)."""
     interpret = _auto_interpret(interpret)
     b, npad = sp.shape
     rows = npad // LANES
     pw = len(skeys)
-    kern = functools.partial(
-        _suffix_neighbor_kernel, lags=lags, max_dist=max_dist,
-        payload_words=pw,
-    )
     vspec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    out_sp, packed = pl.pallas_call(
-        kern,
+    adj = lcp_lags_pallas(
+        [k.reshape(b, rows, LANES) for k in skeys], 1,
+        big_endian=True, interpret=interpret,
+    )[0]
+    packed = pl.pallas_call(
+        functools.partial(
+            _suffix_merge_kernel, lags=lags, max_dist=max_dist,
+            payload_bytes=4 * pw,
+        ),
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec]
-        + [vspec for _ in range(pw)],
-        out_specs=[vspec, vspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, rows, LANES), _U32) for _ in range(2)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec],
+        out_specs=[vspec],
+        out_shape=[jax.ShapeDtypeStruct((b, rows, LANES), _U32)],
         interpret=interpret,
-    )(halo_start.astype(_I32), sp.reshape(b, rows, LANES),
-      *[k.reshape(b, rows, LANES) for k in skeys])
-    return out_sp.reshape(b, npad), packed.reshape(b, npad)
+    )(halo_start.astype(_I32), sp.reshape(b, rows, LANES), adj)[0]
+    return sp, packed.reshape(b, npad)
 
 
 def _tail2_kernel(len_ref, lo_ref, d_ref, ph_ref, ps_ref, ln_ref, dist_ref,
