@@ -202,7 +202,9 @@ def run_stage(batch: int, block_size: int, reps: int, level: int) -> dict:
     total_out = int(out_len.sum())
     anomalies = _validate_members(out, out_len, data, batch, f"{batch}x{block_size}")
 
-    zlib_size = sum(len(_zlib.compress(data[i].tobytes(), 3)) for i in range(batch))
+    zlib_size = sum(
+        len(_zlib.compress(data[i].tobytes(), level)) for i in range(batch)
+    )
 
     extra = {
         "batch_blocks": batch,
@@ -211,7 +213,7 @@ def run_stage(batch: int, block_size: int, reps: int, level: int) -> dict:
         "per_batch_ms": round(best * 1e3, 2),
         "compile_s": round(compile_s, 1),
         "compression_ratio": round(batch_bytes / total_out, 3),
-        "size_vs_zlib3": round(total_out / zlib_size, 3),
+        f"size_vs_zlib{level}": round(total_out / zlib_size, 3),
         "timing": "chained fori_loop, scalar-fetch forced; device compute only",
     }
     if anomalies:
@@ -534,6 +536,33 @@ def worker(level: int) -> None:
         finally:
             _signal.alarm(0)
         print(json.dumps(res), flush=True)
+    # level-6 rung (round 5): the suffix-matcher Pallas path — reported
+    # as info alongside the level-3 headline. Runs LAST so a slow
+    # compile-service day can't crowd out the flagship ladder.
+    try:
+        _signal.alarm(min(stage_budget, 1200))
+        r6 = run_stage(32, 131072, 8, 6)
+        print(
+            json.dumps(
+                {
+                    "level6_info": {
+                        "gbps": r6["value"],
+                        "batch": 32,
+                        "block": 131072,
+                        "compression_ratio": r6["extra"]["compression_ratio"],
+                        "size_vs_zlib6": r6["extra"]["size_vs_zlib6"],
+                        "compile_s": r6["extra"]["compile_s"],
+                    }
+                }
+            ),
+            flush=True,
+        )
+    except _StageTimeout:
+        print(json.dumps({"stage_error": "level6: stage timeout"}), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"stage_error": f"level6: {e}"[:300]}), flush=True)
+    finally:
+        _signal.alarm(0)
 
 
 def supervise(level: int) -> None:
@@ -615,6 +644,11 @@ def supervise(level: int) -> None:
             snappy_info = res["snappy_info"]
             if best is not None:
                 best.setdefault("extra", {})["snappy"] = snappy_info
+            _audit(errors, best)
+            continue
+        if "level6_info" in res:
+            if best is not None:
+                best.setdefault("extra", {})["level6"] = res["level6_info"]
             _audit(errors, best)
             continue
         if decode_info is not None:

@@ -159,6 +159,23 @@ timeit("match_pw2_lags4", match_body(1, 2, lags=4))
 timeit("full_pw2_lags4", full_body(1, 2, lags=4))
 timeit("match_pw2_lags3", match_body(1, 2, lags=3))
 
+# ---- suffix Pallas matcher (levels >= 6), timed standalone ----
+if not ONLY or "match_suffix" in ONLY:
+    from gzp_tpu.ops.lz_pallas import best_matches_suffix_pallas
+
+    def match_suffix_body():
+        def body(d):
+            ml, md = best_matches_suffix_pallas(
+                d, dl, max_dist=MAX_DIST, max_match=MAX_MATCH,
+                min_emit=MIN_MATCH, lazy=cfg0.lazy,
+                payload_words=cfg0.payload_words, lags=cfg0.lags,
+            )
+            return ml + md
+
+        return body
+
+    timeit("match_suffix", match_suffix_body())
+
 # ---- Pallas matcher: sorts in XLA, op soup fused (round 5) ----
 if not ONLY or {"match_pallas", "full_pallas", "full_pp", "full_pp_pw2",
                 "pp_parse", "pp_emit", "full_pp_i8"} & ONLY:
