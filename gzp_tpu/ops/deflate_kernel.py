@@ -109,6 +109,13 @@ class DeflateEncodeConfig:
     # cost is launch/HBM-pass count, not sort elements
     # (scripts/probe_r5_b16.log) — kept as an A/B knob, default off
     sample_step: int = 1
+    # suffix matcher: number of context WORDS used as sort keys (0 = all
+    # payload_words). Sort cost scales ~0.4 ns/elem per key while payload
+    # operands are free (scripts/probe_sortkeys.log); with fewer keys,
+    # key-equal buckets fall back to recency order and LCPs come from
+    # min-composition of adjacent full-context LCPs (still genuine
+    # matches, possibly shorter — lz.best_matches docstring)
+    suffix_keys: int = 0
     # route the hash matcher through the fused Pallas kernels
     # (ops/lz_pallas.py): XLA keeps only the two sorts; the ~80-op
     # elementwise/scan soup runs as three VMEM-resident kernel launches.
@@ -151,6 +158,7 @@ class DeflateEncodeConfig:
         (the reference's level maps to zlib-ng's chain-depth tiers):
         higher levels carry more context through the candidate sort,
         examine more sorted neighbors, and parse wider windows."""
+        skw = 0
         if level <= 1:
             pw, lg, win, lazy, h3 = 2, 1, 256, False, False
         elif level <= 5:
@@ -164,9 +172,17 @@ class DeflateEncodeConfig:
             # the extra 8 neighbor probes are elementwise compares, the
             # sorts are unchanged
             pw, lg, win, lazy, h3 = 7, 16, 512, True, False
+            # 3 key words (12-byte sort prefix): x0.9927 vs zlib-6 on
+            # the bench corpus (still beats zlib) while the content sort
+            # drops 5.03 -> 2.65 ns/elem (scripts/probe_sortkeys.log,
+            # round-5 suffix_keys A/B)
+            skw = 3
         else:
             # ±24 suffix neighbors: x1.0208 vs zlib-9 (benches/ratio_r4.log)
             pw, lg, win, lazy, h3 = 7, 24, 1024, True, False
+            # 4 key words: x1.0019 vs zlib-9 (full keys: x1.0017) for a
+            # 5.03 -> 3.51 ns/elem sort (round-5 suffix_keys A/B)
+            skw = 4
         # levels >= 6 on big blocks: local Huffman tables every ~64 KiB.
         # Measured (round 4, benches/ratio_r4.log): at 64 KiB blocks the
         # extra sub-block headers cost more than table locality gains on
@@ -190,6 +206,7 @@ class DeflateEncodeConfig:
             block_len=block_len, mode=mode, checksum=checksum, level=level,
             window=win, lazy=lazy, dynamic=True,
             payload_words=pw, lags=lg, dict_size=dict_size, hash3=h3,
+            suffix_keys=skw,
             subblocks=sub, matcher="suffix" if level >= 6 else "hash",
             pallas_match=use_pallas,
             pack="sortscan_pallas" if use_pallas else "sortscan",
@@ -647,7 +664,7 @@ def match_stage(
             from gzp_tpu.ops.lz_pallas import best_matches_suffix_pallas
 
             match_len, match_dist = best_matches_suffix_pallas(
-                ext, lengths, **kw
+                ext, lengths, suffix_keys=cfg.suffix_keys, **kw
             )
             return ext, match_len, match_dist
     match_len, match_dist = lz.best_matches(
@@ -664,6 +681,7 @@ def match_stage(
         hash3=cfg.hash3,
         suffix=cfg.matcher == "suffix",
         sample_step=cfg.sample_step,
+        suffix_keys=cfg.suffix_keys,
     )
     return ext, match_len, match_dist
 

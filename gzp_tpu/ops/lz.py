@@ -148,6 +148,7 @@ def best_matches(
     hash3: bool = False,
     suffix: bool = False,
     sample_step: int = 1,
+    suffix_keys: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Best match (length, distance) at every position of every block.
 
@@ -250,37 +251,50 @@ def best_matches(
         return ln, dist, capped
 
     if suffix:
-        # -- content sort: multi-key lexicographic over the context bytes
+        # -- content sort: lexicographic over the first ``suffix_keys``
+        # context words (default: all of them), position as tie-break,
+        # remaining words carried as free payload operands. Sort cost
+        # scales with comparator depth — ~0.4 ns/elem per extra KEY
+        # while payload operands are free (scripts/probe_sortkeys.log) —
+        # so fewer key words buys real throughput; candidates within a
+        # key-equal bucket then come in RECENCY order (zlib chain order)
+        # instead of full suffix order.
+        kw = suffix_keys if suffix_keys else payload_words
         payload = [_shift_left(w4, 4 * k, jnp.uint32(0)) if k else w4
                    for k in range(payload_words)]
         keys = [jnp.broadcast_to(_bswap32(w), (b, n_ext)) for w in payload]
         sorted_ops = jax.lax.sort(
-            (*keys, jnp.broadcast_to(pos_u, (b, n_ext))),
-            dimension=1, num_keys=payload_words + 1,
+            (*keys[:kw], jnp.broadcast_to(pos_u, (b, n_ext)), *keys[kw:]),
+            dimension=1, num_keys=kw + 1,
         )
-        skeys, sp = sorted_ops[:payload_words], sorted_ops[-1].astype(_I32)
+        skeys = list(sorted_ops[:kw]) + list(sorted_ops[kw + 1:])
+        sp = sorted_ops[kw].astype(_I32)
 
-        def adj_lcp(lag: int):
-            """LCP (bytes, capped at payload_bytes) between each sorted
-            entry and its ``lag``-above neighbor."""
-            lcp = jnp.full((b, n_ext), payload_bytes, _I32)
-            alive = jnp.ones((b, n_ext), jnp.bool_)
-            for k, w in enumerate(skeys):
-                x = w ^ _shift_right(w, lag, jnp.uint32(0))
-                hit = jnp.logical_and(alive, x != 0)
-                lcp = jnp.where(hit, 4 * k + _lz_bytes(x), lcp)
-                alive = jnp.logical_and(alive, x == 0)
-            return lcp
+        # adjacent (lag-1) LCP over the FULL context, then lag-k LCPs by
+        # sliding-min composition: for lexicographically sorted strings
+        # lcp(s_i, s_{i-k}) = min(adj[i-k+1..i]) — exact at full key
+        # width, and with truncated keys still a valid common prefix by
+        # the LCP ultrametric inequality lcp(a,c) >= min(lcp(a,b),
+        # lcp(b,c)), so every claimed match is genuine (possibly
+        # shorter than optimal). Mirrors ops/lz_pallas.py's
+        # _suffix_merge_kernel bit for bit.
+        adj = jnp.full((b, n_ext), payload_bytes, _I32)
+        alive = jnp.ones((b, n_ext), jnp.bool_)
+        for k, w in enumerate(skeys):
+            x = w ^ _shift_right(w, 1, jnp.uint32(0))
+            hit = jnp.logical_and(alive, x != 0)
+            adj = jnp.where(hit, 4 * k + _lz_bytes(x), adj)
+            alive = jnp.logical_and(alive, x == 0)
 
-        def neighbor_dir(lag: int, up: bool):
+        def neighbor_dir(lag: int, up: bool, m_up):
             if up:
                 cpos = _shift_right(sp, lag, -1)
-                lcp = adj_lcp(lag)
+                lcp = m_up
             else:
                 cpos = _shift_left(sp, lag, -1)
                 # LCP vs the lag-below neighbor == that neighbor's
                 # lag-above LCP, shifted back
-                lcp = _shift_left(adj_lcp(lag), lag, 0)
+                lcp = _shift_left(m_up, lag, 0)
             dist = sp - cpos
             valid = jnp.logical_and(
                 cpos >= lo,
@@ -290,13 +304,17 @@ def best_matches(
             lcp = jnp.where(valid, lcp, 0)
             return lcp, dist, capped
 
-        ls, ds, cs = neighbor_dir(1, True)
-        for lag in range(2, lags + 1):
-            l2, d2, c2 = neighbor_dir(lag, True)
-            ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
+        m_up = adj
+        ls = ds = cs = None
         for lag in range(1, lags + 1):
-            l2, d2, c2 = neighbor_dir(lag, False)
-            ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
+            if lag > 1:
+                m_up = jnp.minimum(m_up, _shift_right(adj, lag - 1, 0))
+            for up in (True, False):
+                l2, d2, c2 = neighbor_dir(lag, up, m_up)
+                if ls is None:
+                    ls, ds, cs = l2, d2, c2
+                else:
+                    ls, ds, cs = better(ls, ds, cs, l2, d2, c2)
         suffix_ext = to_pos_order(sp, ls, ds, cs)
 
     # -- hash path: always runs. Content order ranks candidates by match

@@ -925,17 +925,21 @@ def best_matches_suffix_pallas(
     lazy: bool = False,
     payload_words: int = 7,
     lags: int = 16,
+    suffix_keys: int = 0,
     interpret: bool = False,
 ):
     """Drop-in for :func:`gzp_tpu.ops.lz.best_matches` with
     ``suffix=True`` (levels >= 6): the content-sort candidate pass, the
     shallow recency (hash) pass the hybrid keeps for extension-chain
     coherence, and the merged tail — four XLA sorts (suffix + hash
-    candidate sorts, two order-restoring sorts) around four fused
+    candidate sorts, two order-restoring sorts) around the fused
     Pallas launches. Replaces the XLA formulation whose op soup took
     1100+ s to compile and ran 0.0431 GB/s at 32x128 KiB
-    (scripts/rung32_level6_r5.log). Bit-identical to the XLA path
-    (tests/test_pallas_kernels.py::test_match_suffix_pallas_equals_xla).
+    (scripts/rung32_level6_r5.log). ``suffix_keys`` limits the content
+    sort's comparator depth (sort cost is ~0.4 ns/elem per KEY,
+    scripts/probe_sortkeys.log); the carried words still feed the
+    adjacent-LCP kernel, so matches stay genuine. Bit-identical to the
+    XLA path (tests/test_pallas_kernels.py).
     """
     b, n_ext = data_u8.shape
     pos_bits = _pos_bits(n_ext)
@@ -943,14 +947,17 @@ def best_matches_suffix_pallas(
         halo_start = jnp.zeros((b,), _I32)
 
     # -- suffix (content-order) candidate pass
+    kw = suffix_keys if suffix_keys else payload_words
     skeys_raw, pos = build_suffix_keys_pallas(
         data_u8, payload_words=payload_words, interpret=interpret
     )
     sorted_ops = jax.lax.sort(
-        (*skeys_raw, pos), dimension=1, num_keys=payload_words + 1
+        (*skeys_raw[:kw], pos, *skeys_raw[kw:]),
+        dimension=1, num_keys=kw + 1,
     )
     sp_s, packed_s = suffix_neighbor_pallas(
-        list(sorted_ops[:payload_words]), sorted_ops[-1], halo_start,
+        list(sorted_ops[:kw]) + list(sorted_ops[kw + 1:]),
+        sorted_ops[kw], halo_start,
         lags=lags, max_dist=max_dist, interpret=interpret,
     )
     _, packed_s_pos = jax.lax.sort((sp_s, packed_s), dimension=1, num_keys=1)

@@ -164,17 +164,17 @@ def test_int8_lookup_byte_identical():
         ) == data[i].tobytes()
 
 
-@pytest.mark.parametrize("pw,lags", [(3, 3), (7, 16)])
-def test_match_suffix_pallas_equals_xla(pw, lags):
+@pytest.mark.parametrize("pw,lags,skw", [(3, 3, 0), (7, 16, 0), (7, 16, 2), (3, 4, 1)])
+def test_match_suffix_pallas_equals_xla(pw, lags, skw):
     """Suffix-matcher (levels >= 6) Pallas path is bit-identical to
-    lz.best_matches(suffix=True)."""
+    lz.best_matches(suffix=True), incl. truncated-key configs."""
     from gzp_tpu.ops.lz_pallas import best_matches_suffix_pallas
 
     B, N = 2, 8192
     data = np.frombuffer(_corpus(B * N, seed=5), np.uint8).reshape(B, N)
     lengths = jnp.asarray(np.array([N, N - 321], np.int32))
     kw = dict(max_dist=32768, max_match=258, min_emit=3, lazy=True,
-              payload_words=pw, lags=lags)
+              payload_words=pw, lags=lags, suffix_keys=skw)
     ln1, d1 = jax.jit(
         lambda d: lz.best_matches(d, lengths, suffix=True, **kw)
     )(data)
