@@ -541,13 +541,13 @@ def worker(level: int) -> None:
     # compile-service day can't crowd out the flagship ladder.
     try:
         _signal.alarm(min(stage_budget, 1200))
-        r6 = run_stage(32, 131072, 8, 6)
+        r6 = run_stage(64, 131072, 8, 6)
         print(
             json.dumps(
                 {
                     "level6_info": {
                         "gbps": r6["value"],
-                        "batch": 32,
+                        "batch": 64,
                         "block": 131072,
                         "compression_ratio": r6["extra"]["compression_ratio"],
                         "size_vs_zlib6": r6["extra"]["size_vs_zlib6"],

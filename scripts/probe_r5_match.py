@@ -169,6 +169,7 @@ if not ONLY or "match_suffix" in ONLY:
                 d, dl, max_dist=MAX_DIST, max_match=MAX_MATCH,
                 min_emit=MIN_MATCH, lazy=cfg0.lazy,
                 payload_words=cfg0.payload_words, lags=cfg0.lags,
+                suffix_keys=cfg0.suffix_keys,
             )
             return ml + md
 
