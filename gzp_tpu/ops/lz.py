@@ -259,7 +259,7 @@ def best_matches(
         # so fewer key words buys real throughput; candidates within a
         # key-equal bucket then come in RECENCY order (zlib chain order)
         # instead of full suffix order.
-        kw = suffix_keys if suffix_keys else payload_words
+        kw = min(suffix_keys, payload_words) if suffix_keys else payload_words
         payload = [_shift_left(w4, 4 * k, jnp.uint32(0)) if k else w4
                    for k in range(payload_words)]
         keys = [jnp.broadcast_to(_bswap32(w), (b, n_ext)) for w in payload]

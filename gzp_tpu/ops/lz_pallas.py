@@ -947,7 +947,7 @@ def best_matches_suffix_pallas(
         halo_start = jnp.zeros((b,), _I32)
 
     # -- suffix (content-order) candidate pass
-    kw = suffix_keys if suffix_keys else payload_words
+    kw = min(suffix_keys, payload_words) if suffix_keys else payload_words
     skeys_raw, pos = build_suffix_keys_pallas(
         data_u8, payload_words=payload_words, interpret=interpret
     )
