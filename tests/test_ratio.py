@@ -28,9 +28,12 @@ def _corpus(nbytes: int) -> bytes:
 # the adopted lags=16 at level 6 / lags=24 at level 9): level 1 = 0.967,
 # 3 = 1.005, 6 = 0.988 (BETTER than zlib-6), 9 = 1.0004 — bounds leave
 # ~1% headroom so any regression of the RLE header, match search, or
-# suffix candidate ranking fails loudly
+# suffix candidate ranking fails loudly. Round-5 close: the suffix_keys
+# truncation (level 6 keys=3: x0.9927 on the 8x64KiB A/B corpus, x0.989
+# on the device bench corpus) stays under 1.0, so level 6 now
+# CI-enforces beating zlib-6 outright.
 @pytest.mark.parametrize(
-    "level,bound", [(3, 1.02), (1, 0.98), (6, 1.005), (9, 1.01)]
+    "level,bound", [(3, 1.02), (1, 0.98), (6, 1.0), (9, 1.01)]
 )
 def test_size_vs_zlib_bound(level, bound):
     block = 65536
