@@ -440,7 +440,36 @@ int inflate_impl(const uint8_t *in, size_t in_len, uint8_t *out,
         if (o + length > out_cap) return kErrOverflow;
         uint8_t *dst = out + o;
         const uint8_t *src = dst - d;
-        if (d >= length) {
+        if (o + length + 16 <= out_cap) {
+          // Sloppy fast path: stores may run up to 15 bytes past the
+          // copy's end — still inside out (margin-checked) and always
+          // re-written by later output, the libdeflate trick that drops
+          // every per-copy tail loop (DEFLATE matches average ~20 B on
+          // text, so tails otherwise cost ~half the copy iterations).
+          if (d == 1) {
+            memset(dst, src[0], length);
+          } else if (d >= 8) {
+            uint32_t k = 0;
+            do {
+              memcpy(dst + k, src + k, 8);
+              k += 8;
+            } while (k < length);
+          } else {
+            // short distance (2..7): byte-settle 16 bytes of pattern,
+            // then stride by the largest multiple of d <= 16 copying
+            // 16-byte chunks through a register temp (no overlapping
+            // memcpy); reads are always settled because p <= 16
+            for (int k = 0; k < 16; k++) dst[k] = src[k];
+            if (length > 16) {
+              const uint32_t p = (16 / d) * d;  // 12..16
+              for (uint32_t k = 16; k < length; k += p) {
+                uint8_t tmp[16];
+                memcpy(tmp, dst + k - p, 16);
+                memcpy(dst + k, tmp, 16);
+              }
+            }
+          }
+        } else if (d >= length) {
           memcpy(dst, src, length);
         } else if (d == 1) {
           memset(dst, src[0], length);
