@@ -154,6 +154,13 @@ constexpr uint32_t kKindLit = 0x00u;
 constexpr uint32_t kKindVal = 0x10u;
 constexpr uint32_t kKindEob = 0x20u;
 constexpr uint32_t kKindSub = 0x30u;
+// root-only flag on kKindLit entries: this slot's bits decode to TWO
+// literals (both code lengths within root_bits); byte 1 in bits 16..23,
+// byte 2 in bits 24..31, length nibble = combined length. The decode
+// literal path is the measured bottleneck (0.23 GB/s literal-heavy vs
+// 7.3 match-heavy) — halving lookups on short-code text is the
+// libdeflate "litlit" trick.
+constexpr uint32_t kDoubleLit = 0x40u;
 
 constexpr int kLitRootBits = 11;
 constexpr int kDistRootBits = 9;
@@ -219,6 +226,29 @@ bool build_table2(const uint8_t *lens, int nsym, int root_bits, int sub_bits,
       for (uint32_t idx = hi; idx < (1u << sub_bits);
            idx += (1u << (l - root_bits)))
         sub[off + idx] = e;
+    }
+  }
+  // Double-literal fusion pass: a root slot whose bit pattern decodes
+  // to literal followed by literal, with both code lengths inside
+  // root_bits, serves both bytes from one lookup. Runs on a snapshot so
+  // fused entries never chain into triples. The low (root_bits - l1)
+  // bits of idx >> l1 fully determine the second code because length-l2
+  // entries tile the root with period 2^l2 and l1 + l2 <= root_bits is
+  // required. No-op for tables without literal kinds (dist, CL).
+  {
+    uint32_t snap[1u << 11];  // root_bits <= kLitRootBits == 11
+    memcpy(snap, root, sizeof(uint32_t) << root_bits);
+    for (uint32_t idx = 0; idx < (1u << root_bits); idx++) {
+      uint32_t e1 = snap[idx];
+      uint32_t l1 = e1 & 15;
+      if (!l1 || (e1 & (kKindMask | kDoubleLit)) != kKindLit) continue;
+      uint32_t e2 = snap[idx >> l1];
+      uint32_t l2 = e2 & 15;
+      if (!l2 || (e2 & (kKindMask | kDoubleLit)) != kKindLit ||
+          l1 + l2 > static_cast<uint32_t>(root_bits))
+        continue;
+      root[idx] = (l1 + l2) | kKindLit | kDoubleLit |
+                  (((e1 >> 16) & 0xffu) << 16) | (((e2 >> 16) & 0xffu) << 24);
     }
   }
   return true;
@@ -402,12 +432,25 @@ int inflate_impl(const uint8_t *in, size_t in_len, uint8_t *out,
         br.consume(static_cast<int>(l));
         uint32_t kind = e & kKindMask;
         if (kind == kKindLit) {
-          if (o >= out_cap) return kErrOverflow;
-          out[o++] = static_cast<uint8_t>(e >> 16);
+          if (o + 2 <= out_cap) {
+            // branch-free: store the second byte unconditionally
+            // (garbage for single entries, immediately overwritten by
+            // the next output byte) and advance by the entry's count
+            out[o] = static_cast<uint8_t>(e >> 16);
+            out[o + 1] = static_cast<uint8_t>(e >> 24);
+            o += 1 + ((e >> 6) & 1);
+          } else {
+            uint32_t nlit = 1 + ((e >> 6) & 1);
+            if (o + nlit > out_cap) return kErrOverflow;
+            out[o] = static_cast<uint8_t>(e >> 16);
+            if (nlit == 2) out[o + 1] = static_cast<uint8_t>(e >> 24);
+            o += nlit;
+          }
           // keep decoding literals while a full-width peek is buffered
-          // (typical 8-9 bit codes yield ~4-6 literals per refill);
-          // breaks WITHOUT consuming on any non-literal so the outer
-          // loop re-decodes it after a refill
+          // (typical 8-9 bit codes yield ~4-6 literals per refill,
+          // double-entries up to twice that); breaks WITHOUT consuming
+          // on any non-literal so the outer loop re-decodes it after a
+          // refill
           while (br.cnt >= kMaxBits) {
             b32 = static_cast<uint32_t>(br.buf);
             e = lit->root[b32 & kLitRootMask];
@@ -417,8 +460,17 @@ int inflate_impl(const uint8_t *in, size_t in_len, uint8_t *out,
             l = e & 15;
             if (!l || (e & kKindMask) != kKindLit) break;  // outer handles
             br.consume(static_cast<int>(l));
-            if (o >= out_cap) return kErrOverflow;
-            out[o++] = static_cast<uint8_t>(e >> 16);
+            if (o + 2 <= out_cap) {
+              out[o] = static_cast<uint8_t>(e >> 16);
+              out[o + 1] = static_cast<uint8_t>(e >> 24);
+              o += 1 + ((e >> 6) & 1);
+            } else {
+              uint32_t nlit = 1 + ((e >> 6) & 1);
+              if (o + nlit > out_cap) return kErrOverflow;
+              out[o] = static_cast<uint8_t>(e >> 16);
+              if (nlit == 2) out[o + 1] = static_cast<uint8_t>(e >> 24);
+              o += nlit;
+            }
           }
           continue;
         }
