@@ -172,6 +172,8 @@ class ParDecompress(io.RawIOBase):
         if self._closed:
             raise ValueError("reader closed")
         if size is None or size < 0:
+            if self.backend == "native":
+                return self._read_all_native()
             chunks = [bytes(self._buffer)]
             self._buffer.clear()
             while True:
@@ -188,6 +190,60 @@ class ParDecompress(io.RawIOBase):
         out = bytes(self._buffer[:size])
         del self._buffer[:size]
         return out
+
+    def _read_all_native(self) -> bytes:
+        """read(-1) fast path: scan every remaining member up front,
+        inflate each directly into its slice of ONE preallocated output
+        buffer (`inflate_into`), and checksum the slices in place. The
+        chunk-at-a-time path pays ~3 GIL-held copies per member
+        (payload slice, bytes return, buffer append, final join) which
+        capped the 2-thread pool at ~0.42 GB/s while the C++ inflate
+        alone sustains 0.58 GB/s single-thread; here workers run
+        GIL-free end to end and reassembly is free by construction.
+        read(-1) materializes the whole stream either way, so the
+        bounded-queue backpressure the streaming path provides is moot."""
+        chunks = [bytes(self._buffer)]
+        self._buffer.clear()
+        pending, self._pending = self._pending, []
+        chunks.extend(f.result() for f in pending)
+
+        fmt = self.format
+        blocks: list[bytes] = []
+        offs = [0]
+        while True:
+            blk = self._scan_one()
+            if blk is None:
+                self._eof = True
+                break
+            blocks.append(blk)
+            offs.append(offs[-1] + fmt.get_footer_values(blk).amount)
+        out = bytearray(offs[-1])
+        view = memoryview(out)
+        native = get_native()
+
+        def work(i: int) -> None:
+            blk = blocks[i]
+            fv = fmt.get_footer_values(blk)
+            seg = view[offs[i] : offs[i + 1]]
+            if fv.amount:
+                written, _ = native.inflate_into(
+                    blk[fmt.header_size : len(blk) - 8], seg
+                )
+                if written != fv.amount:
+                    raise DecompressError(
+                        f"inflate produced {written} bytes, expected {fv.amount}"
+                    )
+            crc = native.crc32_view(seg)
+            if crc != fv.sum:
+                raise InvalidCheckError(found=crc, expected=fv.sum)
+
+        futs = [self.pool.submit(work, i) for i in range(len(blocks))]
+        for f in futs:
+            f.result()
+        if len(chunks) == 1 and not chunks[0]:
+            return bytes(out)
+        chunks.append(bytes(out))
+        return b"".join(chunks)
 
     def readable(self) -> bool:
         return True

@@ -148,6 +148,14 @@ class NativeCodec:
     def crc32(self, data: bytes, value: int = 0) -> int:
         return self._lib.gzptpu_crc32(data, len(data), value)
 
+    def crc32_view(self, view: memoryview, value: int = 0) -> int:
+        """CRC32 over a writable buffer view without copying (the
+        read-all fast path checksums slices of one preallocated
+        output buffer)."""
+        n = len(view)
+        arr = (ctypes.c_char * n).from_buffer(view)
+        return self._lib.gzptpu_crc32(arr, n, value)
+
     def crc32c(self, data: bytes, value: int = 0) -> int:
         return self._lib.gzptpu_crc32c(data, len(data), value)
 
