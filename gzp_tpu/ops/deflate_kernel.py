@@ -172,17 +172,19 @@ class DeflateEncodeConfig:
             # the extra 8 neighbor probes are elementwise compares, the
             # sorts are unchanged
             pw, lg, win, lazy, h3 = 7, 16, 512, True, False
-            # 3 key words (12-byte sort prefix): x0.9927 vs zlib-6 on
-            # the bench corpus (still beats zlib) while the content sort
-            # drops 5.03 -> 2.65 ns/elem (scripts/probe_sortkeys.log,
-            # round-5 suffix_keys A/B)
-            skw = 3
+            # 5 key words (20-byte sort prefix): beats zlib-6 on the
+            # bench corpus AND stays within 1% of the hash matcher on
+            # repetitive micro-corpora (x1.009, the suffix-oracle rail;
+            # 3 keys measured x1.089 there) while the content sort still
+            # drops 5.03 -> ~3.9 ns/elem (scripts/probe_sortkeys.log)
+            skw = 5
         else:
             # ±24 suffix neighbors: x1.0208 vs zlib-9 (benches/ratio_r4.log)
             pw, lg, win, lazy, h3 = 7, 24, 1024, True, False
-            # 4 key words: x1.0019 vs zlib-9 (full keys: x1.0017) for a
-            # 5.03 -> 3.51 ns/elem sort (round-5 suffix_keys A/B)
-            skw = 4
+            # 6 key words: x0.994 vs hash on the repetitive oracle
+            # corpus (max-compression level keeps near-full key quality)
+            # for a 5.03 -> ~4.3 ns/elem sort (round-5 suffix_keys A/B)
+            skw = 6
         # levels >= 6 on big blocks: local Huffman tables every ~64 KiB.
         # Measured (round 4, benches/ratio_r4.log): at 64 KiB blocks the
         # extra sub-block headers cost more than table locality gains on
